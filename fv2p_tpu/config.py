@@ -55,6 +55,42 @@ class EasyDict(dict):
         return EasyDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
 
+class StaticConfig:
+    """Opaque (non-dict) config wrapper for flax module fields.
+
+    flax converts dict-valued dataclass fields to FrozenDict, destroying
+    EasyDict attribute access; wrapping keeps the config static and intact.
+    Supports attribute access, item access, ``get`` and ``in``.
+    """
+
+    def __init__(self, d):
+        object.__setattr__(self, '_d', d)
+
+    def __getattr__(self, k):
+        try:
+            return self._d[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def __repr__(self):
+        return f'StaticConfig({self._d!r})'
+
+    def __eq__(self, other):
+        return isinstance(other, StaticConfig) and self._d == other._d
+
+    def __hash__(self):
+        return id(self._d)
+
+
 def log_config_to_file(cfg_, pre='cfg', logger=None):
     for key, val in cfg_.items():
         if isinstance(val, EasyDict):

@@ -1,0 +1,136 @@
+"""Modulated deformable convolution v2 (DCNv2) in pure XLA.
+
+TPU-native replacement for the reference CUDA extension
+``pcdet/ops/DeformableConvolutionV2PyTorch`` (bilinear-sampled im2col,
+``src/cuda/modulated_deform_im2col_cuda.cuh``): the learned-offset bilinear
+sampling becomes four batched gathers + interpolation weights, and the conv
+itself is a single einsum over the K sampled taps — which XLA maps onto the
+MXU. Out-of-bounds samples contribute zero (same as the CUDA kernel).
+
+Layout: NHWC. Offsets/masks are produced by a regular conv; we define the
+channel layout as [dy (G*K), dx (G*K), mask (G*K)] — self-consistent since
+the offset conv is zero-initialized and learned end-to-end.
+"""
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_sample(x_grouped, sy, sx, h, w):
+    """Sample x at fractional locations with zero padding outside.
+
+    Args:
+        x_grouped: (B, G, H*W, Cg).
+        sy, sx: (B, G, S) fractional sample coords (S = H*W*K).
+    Returns: (B, G, S, Cg).
+    """
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0
+    wx1 = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def corner(yi, xi, wgt):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(x_grouped, flat[..., None], axis=2)
+        return vals * (wgt * inb.astype(wgt.dtype))[..., None]
+
+    out = corner(y0i, x0i, (1 - wy1) * (1 - wx1))
+    out += corner(y0i, x0i + 1, (1 - wy1) * wx1)
+    out += corner(y0i + 1, x0i, wy1 * (1 - wx1))
+    out += corner(y0i + 1, x0i + 1, wy1 * wx1)
+    return out
+
+
+def modulated_deform_conv(x, offset_dy, offset_dx, mask, weights,
+                          kernel_size=3, deformable_groups=1):
+    """Args:
+        x: (B, H, W, C) input features.
+        offset_dy/offset_dx: (B, H, W, G*K) learned offsets (pixels).
+        mask: (B, H, W, G*K) modulation in [0, 1] (already sigmoided).
+        weights: (K, C, Cout).
+    Returns: (B, H, W, Cout) float32.
+    """
+    b, h, w, c = x.shape
+    g = deformable_groups
+    k = kernel_size * kernel_size
+    cg = c // g
+    pad = (kernel_size - 1) // 2
+
+    # base sampling grid: output (y, x) + tap offset - pad
+    ky, kx = np.meshgrid(np.arange(kernel_size), np.arange(kernel_size),
+                         indexing='ij')
+    tap_y = jnp.asarray(ky.reshape(-1), x.dtype) - pad  # (K,)
+    tap_x = jnp.asarray(kx.reshape(-1), x.dtype) - pad
+    base_y = jax.lax.broadcasted_iota(x.dtype, (h, w), 0)
+    base_x = jax.lax.broadcasted_iota(x.dtype, (h, w), 1)
+
+    dy = offset_dy.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4)  # (B,G,H,W,K)
+    dx = offset_dx.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4)
+    sy = base_y[None, None, :, :, None] + tap_y[None, None, None, None, :] + dy
+    sx = base_x[None, None, :, :, None] + tap_x[None, None, None, None, :] + dx
+    sy = sy.reshape(b, g, h * w * k)
+    sx = sx.reshape(b, g, h * w * k)
+
+    xg = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)  # (B, G, H*W, Cg)
+    sampled = _bilinear_sample(xg, sy, sx, h, w)            # (B, G, HWK, Cg)
+    sampled = sampled.reshape(b, g, h * w, k, cg)
+
+    m = mask.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4).reshape(b, g, h * w, k)
+    sampled = sampled * m[..., None]
+
+    # (B, HW, K, G, Cg) -> (B, HW, K, C) then contract with (K, C, Cout)
+    sampled = sampled.transpose(0, 2, 3, 1, 4).reshape(b, h * w, k, c)
+    out = jnp.einsum('bnkc,kco->bno', sampled, weights,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, h, w, -1)
+
+
+class MdeformConvBlock(nn.Module):
+    """Offset/mask conv + modulated deform conv, no activation
+    (reference ``mdeformable_conv_block.py:31-97``; zero-init offsets)."""
+    out_channels: int
+    kernel_size: int = 3
+    deformable_groups: int = 1
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        g, ks = self.deformable_groups, self.kernel_size
+        k = ks * ks
+        cin = x.shape[-1]
+        om = nn.Conv(g * k * 3, (ks, ks), padding=((1, 1), (1, 1)),
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name='conv_offset_mask')(x)
+        dy, dx, mask = jnp.split(om, 3, axis=-1)
+        mask = jax.nn.sigmoid(mask)
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k, cin, self.out_channels))
+        xin = x if self.compute_dtype is None else x.astype(self.compute_dtype)
+        win = w if self.compute_dtype is None else w.astype(self.compute_dtype)
+        return modulated_deform_conv(
+            xin, dy.astype(xin.dtype), dx.astype(xin.dtype),
+            mask.astype(xin.dtype), win, ks, g)
+
+
+class FeatureAdaption(nn.Module):
+    """MDCN feature adaptation for the CenterAF head (reference
+    ``feature_adaptor/mdeformable_convs.py:14-91``: deformable_groups=4,
+    ReLU on the output)."""
+    out_channels: int
+    kernel_size: int = 3
+    deformable_groups: int = 4
+    activate_out: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = MdeformConvBlock(self.out_channels, self.kernel_size,
+                             self.deformable_groups, self.compute_dtype,
+                             name='mdcn')(x)
+        return nn.relu(y) if self.activate_out else y

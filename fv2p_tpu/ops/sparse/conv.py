@@ -1,0 +1,165 @@
+"""Sparse convolution apply + flax modules (gather-GEMM, MXU-friendly).
+
+TPU-native replacement for the reference ``indiceConv`` gather-GEMM-scatter
+loop (``include/spconv/spconv_ops.h:261-344``): with the output-gather
+rulebook from ``rulebook.py`` the whole conv is
+
+    out[o] = sum_k  in_padded[nbr_idx[k, o]] @ W[k]
+
+i.e. one gather + one batched matmul (einsum) per layer; the zero pad row at
+index N_cap makes masking implicit. The backward pass is XLA autodiff: the
+gather VJP is a scatter-add, mirroring ``indice_conv_backward``.
+"""
+from typing import Any, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rulebook import _as3
+from .sparse_tensor import SparseTensor
+
+
+def sparse_conv_apply(features, nbr_idx, weights, compute_dtype=None):
+    """Args:
+        features: (N_in_cap, Cin).
+        nbr_idx: (K, N_out) int32 in [0, N_in_cap]; N_in_cap == zero row.
+        weights: (K, Cin, Cout).
+    Returns: (N_out, Cout) float32.
+    """
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    gathered = pad[nbr_idx]  # (K, N_out, Cin)
+    out = jnp.einsum('kni,kio->no', gathered, weights,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold sparse conv (reference ``spconv.SubMConv3d``)."""
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    use_bias: bool = False
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, nbr_idx):
+        k = int(np.prod(_as3(self.kernel_size)))
+        cin = st.num_channels
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k, cin, self.out_channels))
+        feats = sparse_conv_apply(st.features, nbr_idx, w, self.compute_dtype)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+            feats = feats + b
+        feats = jnp.where(st.valid_mask()[:, None], feats, 0.0)
+        return st.replace(features=feats)
+
+
+class SparseConv3d(nn.Module):
+    """Strided sparse conv; consumes the (out_st, nbr_idx) from
+    ``rulebook.downsample_rulebook`` (reference ``spconv.SparseConv3d``)."""
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    use_bias: bool = False
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, in_st: SparseTensor, out_st: SparseTensor, nbr_idx):
+        k = int(np.prod(_as3(self.kernel_size)))
+        cin = in_st.num_channels
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k, cin, self.out_channels))
+        feats = sparse_conv_apply(in_st.features, nbr_idx, w, self.compute_dtype)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+            feats = feats + b
+        feats = jnp.where(out_st.valid_mask()[:, None], feats, 0.0)
+        return out_st.replace(features=feats)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid voxel rows only (padding excluded from stats).
+
+    Matches reference ``nn.BatchNorm1d(eps=1e-3, momentum=0.01)`` — torch
+    momentum 0.01 == keep 0.99 of the running stat.
+    """
+    momentum: float = 0.99
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(jnp.float32)[:, None]
+            n = jnp.clip(jnp.sum(m), min=1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * m, axis=0) / n
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+class SparseConvBNReLU(nn.Module):
+    """post_act_block equivalent: conv -> masked BN -> ReLU
+    (reference ``spconv_backbone.py:10-29``)."""
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    conv_type: str = 'subm'  # 'subm' | 'spconv'
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, st, *rulebook_args, train: bool):
+        if self.conv_type == 'subm':
+            (nbr_idx,) = rulebook_args
+            st = SubMConv3d(self.out_channels, self.kernel_size,
+                            compute_dtype=self.compute_dtype, name='conv')(st, nbr_idx)
+        elif self.conv_type == 'spconv':
+            out_st, nbr_idx = rulebook_args
+            st = SparseConv3d(self.out_channels, self.kernel_size,
+                              compute_dtype=self.compute_dtype, name='conv')(
+                st, out_st, nbr_idx)
+        else:
+            raise NotImplementedError(self.conv_type)
+        feats = MaskedBatchNorm(name='bn')(st.features, st.valid_mask(),
+                                           use_running_average=not train)
+        return st.replace(features=nn.relu(feats))
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual block of two subm convs (reference ``spconv_backbone.py:32-68``).
+
+    Both convs share the level's subm rulebook (same ``indice_key`` in the
+    reference)."""
+    channels: int
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, st, nbr_idx, *, train: bool):
+        identity = st.features
+        out = SubMConv3d(self.channels, 3, use_bias=True,
+                         compute_dtype=self.compute_dtype, name='conv1')(st, nbr_idx)
+        f = MaskedBatchNorm(name='bn1')(out.features, out.valid_mask(),
+                                        use_running_average=not train)
+        out = out.replace(features=nn.relu(f))
+        out = SubMConv3d(self.channels, 3, use_bias=True,
+                         compute_dtype=self.compute_dtype, name='conv2')(out, nbr_idx)
+        f = MaskedBatchNorm(name='bn2')(out.features, out.valid_mask(),
+                                        use_running_average=not train)
+        f = nn.relu(f + identity)
+        return out.replace(features=jnp.where(out.valid_mask()[:, None], f, 0.0))
