@@ -1,0 +1,81 @@
+"""End-to-end inference benchmark on the real TPU chip.
+
+Flagship config: MGAF-3DSSD KITTI Car (mgaf-3dssd.yaml), synthetic scans at
+realistic sparsity (~18k occupied voxels of the 0.05m grid), full pipeline:
+mean-VFE -> sparse backbone -> BEV+DCN -> CenterAF decode -> rotated NMS.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "scans/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
+against an estimated 20 scans/sec for the CUDA reference's eval
+`sec_per_example` on a single A100 (the BASELINE.json north star is 5x A100
+throughput on a v5e-8, i.e. 12.5 scans/sec/chip at parity-5x).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+A100_BASELINE_SCANS_PER_SEC = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    batch_size = 4
+    n_cap = 16000
+    n_fill = 14000
+
+    cfg, model, variables, batch = ge._flagship(
+        batch_size=batch_size, n_cap=n_cap, n_fill=n_fill,
+        compute_dtype=jnp.bfloat16)
+    batch.pop('gt_boxes')
+
+    @jax.jit
+    def infer(variables, batch):
+        out = model.apply(variables, dict(batch), train=False)
+        return out['pred_boxes'], out['pred_scores'], out['pred_labels']
+
+    def force(x):
+        # axon's block_until_ready does not actually synchronize; a scalar
+        # fetch is the only reliable completion barrier.
+        return float(jnp.sum(x))
+
+    # compile + warmup (also compiles the forcing sum)
+    t0 = time.time()
+    boxes, scores, labels = infer(variables, batch)
+    force(boxes)
+    compile_s = time.time() - t0
+    force(infer(variables, batch)[0])
+
+    # steady state: device executes enqueued programs in order, so forcing
+    # the last result bounds the whole loop.
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        boxes, scores, labels = infer(variables, batch)
+    force(boxes)
+    dt = (time.time() - t0) / iters
+    scans_per_sec = batch_size / dt
+
+    result = {
+        'metric': 'mgaf3dssd_kitti_e2e_inference',
+        'value': round(scans_per_sec, 3),
+        'unit': 'scans/sec/chip',
+        'vs_baseline': round(scans_per_sec / A100_BASELINE_SCANS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(f'# compile={compile_s:.1f}s  batch={batch_size}  '
+          f'sec_per_example={dt / batch_size * 1000:.2f}ms  '
+          f'device={jax.devices()[0].device_kind}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -12,10 +12,30 @@ Design notes (vs. the reference):
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ...ops.sparse import rulebook
 from ...ops.sparse.conv import SparseBasicBlock, SparseConvBNReLU
 from ...ops.sparse.sparse_tensor import from_coords
+
+
+def input_sparse_tensor(batch_dict, sparse_shape):
+    """(B, N_cap, ...) per-sample arrays -> one flat SparseTensor.
+
+    The batch index is implicit in the leading axis, which makes data
+    parallelism a plain shard of axis 0 over the mesh (whole samples stay on
+    one device; no cross-device sort)."""
+    coords = batch_dict['voxel_coords']          # (B, N_cap, 3) int32 (z,y,x)
+    feats = batch_dict['voxel_features']         # (B, N_cap, C)
+    valid = batch_dict.get('voxel_valid')        # (B, N_cap) bool
+    b, cap = coords.shape[0], coords.shape[1]
+    batch_col = jnp.broadcast_to(
+        jnp.arange(b, dtype=coords.dtype)[:, None, None], (b, cap, 1))
+    coords_bzyx = jnp.concatenate([batch_col, coords], axis=-1).reshape(b * cap, 4)
+    feats = feats.reshape(b * cap, feats.shape[-1])
+    if valid is not None:
+        valid = valid.reshape(b * cap)
+    return from_coords(coords_bzyx, feats, sparse_shape, b, valid_mask=valid)
 
 
 def level_capacities(base_capacity):
@@ -43,14 +63,11 @@ class VoxelResBackBone8x(nn.Module):
     def __call__(self, batch_dict, *, train: bool = False):
         nx, ny, nz = self.grid_size
         sparse_shape = (nz + 1, ny, nx)  # reference: grid_size[::-1] + [1,0,0]
-        caps = level_capacities(self.voxel_capacity * batch_dict['batch_size'])
+        st = input_sparse_tensor(batch_dict, sparse_shape)
+        caps = level_capacities(st.capacity)
         if self.model_cfg is not None and 'LEVEL_CAPACITIES' in self.model_cfg:
             caps.update(self.model_cfg['LEVEL_CAPACITIES'])
         cd = self.compute_dtype
-
-        st = from_coords(batch_dict['voxel_coords'], batch_dict['voxel_features'],
-                         sparse_shape, batch_dict['batch_size'],
-                         valid_mask=batch_dict.get('voxel_valid'))
 
         # level 1 (stride 1)
         nbr1 = rulebook.subm_rulebook(st, 3)
@@ -115,12 +132,9 @@ class VoxelBackBone8x(nn.Module):
     def __call__(self, batch_dict, *, train: bool = False):
         nx, ny, nz = self.grid_size
         sparse_shape = (nz + 1, ny, nx)
-        caps = level_capacities(self.voxel_capacity * batch_dict['batch_size'])
+        st = input_sparse_tensor(batch_dict, sparse_shape)
+        caps = level_capacities(st.capacity)
         cd = self.compute_dtype
-
-        st = from_coords(batch_dict['voxel_coords'], batch_dict['voxel_features'],
-                         sparse_shape, batch_dict['batch_size'],
-                         valid_mask=batch_dict.get('voxel_valid'))
 
         nbr1 = rulebook.subm_rulebook(st, 3)
         x = SparseConvBNReLU(16, 3, 'subm', cd, name='conv_input')(st, nbr1, train=train)

@@ -10,10 +10,10 @@ class MeanVFE(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, *, train: bool = False):
-        voxels = batch_dict['voxels']                     # (N_cap, max_pts, C)
-        num_points = batch_dict['voxel_num_points']       # (N_cap,)
-        points_sum = jnp.sum(voxels, axis=1)
-        normalizer = jnp.clip(num_points, min=1.0).astype(voxels.dtype)[:, None]
+        voxels = batch_dict['voxels']                     # (B, N_cap, max_pts, C)
+        num_points = batch_dict['voxel_num_points']       # (B, N_cap)
+        points_sum = jnp.sum(voxels, axis=-2)
+        normalizer = jnp.clip(num_points, min=1.0).astype(voxels.dtype)[..., None]
         batch_dict['voxel_features'] = points_sum / normalizer
         return batch_dict
 

@@ -1,0 +1,82 @@
+"""Multi-chip scaling (TPU-native replacement for the reference's NCCL DDP,
+``tools/train.py:164-166`` / ``common_utils.py:125-165``).
+
+Data parallelism over a 1-D ``jax.sharding.Mesh``: every batch array has the
+sample axis leading, so the batch shards as P('data') while params/opt-state
+stay replicated. The per-device step runs the full model on its local
+sub-batch via ``shard_map`` (no cross-device sorts inside the sparse engine)
+and gradients ride ICI through ``jax.lax.pmean`` — the XLA analogue of DDP's
+allreduce. Multi-host extends the same mesh over DCN via
+``jax.distributed.initialize``."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(devices=None):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_spec(batch):
+    """PartitionSpec pytree: shard every batch array along its sample axis."""
+    return {k: P(DATA_AXIS) for k in batch}
+
+
+def replicate_spec(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+def shard_batch(mesh, batch):
+    """Device-put a host batch with samples sharded across the mesh."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, NamedSharding(mesh, P(DATA_AXIS)))
+    return out
+
+
+def make_dp_train_step(model, mesh):
+    """Jitted data-parallel train step over the mesh.
+
+    Per-device: full model forward/backward on the local sub-batch;
+    cross-device: pmean of grads/metrics/batch-stats inside shard_map.
+    """
+    from jax import shard_map
+
+    from ..train_utils.train_state import make_train_step
+
+    per_device_step = make_train_step(model, axis_name=DATA_AXIS)
+
+    def step(state, batch):
+        sharded = shard_map(
+            per_device_step, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), state),
+                      {k: P(DATA_AXIS) for k in batch}),
+            out_specs=(jax.tree_util.tree_map(lambda _: P(), state), P()),
+            check_vma=False)
+        return sharded(state, batch)
+
+    return jax.jit(step)
+
+
+def make_dp_eval_step(model, mesh):
+    from jax import shard_map
+
+    def per_device(variables, batch):
+        return model.apply(variables, dict(batch), train=False)
+
+    def step(variables, batch):
+        sharded = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), variables),
+                      {k: P(DATA_AXIS) for k in batch}),
+            out_specs=P(DATA_AXIS),
+            check_vma=False)
+        return sharded(variables, batch)
+
+    return jax.jit(step)

@@ -113,6 +113,88 @@ def mask_boxes_outside_range_numpy(boxes, limit_range, min_num_corners=1):
     return mask.sum(axis=1) >= min_num_corners
 
 
+def boxes3d_lidar_to_kitti_camera(boxes3d_lidar, calib):
+    """lidar [x,y,z(center),dx,dy,dz,heading] -> camera [x,y,z(bottom),l,h,w,ry].
+
+    Reference box_utils.py:214-236: l=dx, h=dz, w=dy; ry = -heading - pi/2.
+    """
+    boxes3d_lidar = boxes3d_lidar.copy()
+    xyz_lidar = boxes3d_lidar[:, 0:3].copy()
+    l, w, h = boxes3d_lidar[:, 3:4], boxes3d_lidar[:, 4:5], boxes3d_lidar[:, 5:6]
+    r = boxes3d_lidar[:, 6:7]
+    xyz_lidar[:, 2] -= h.reshape(-1) / 2
+    xyz = calib.lidar_to_rect(xyz_lidar)
+    r_cam = -r - np.pi / 2
+    return np.concatenate([xyz, l, h, w, r_cam], axis=-1)
+
+
+def boxes3d_kitti_camera_to_lidar(boxes3d_camera, calib):
+    """camera [x,y,z(bottom),l,h,w,ry] -> lidar [x,y,z(center),dx,dy,dz,heading]."""
+    boxes3d_camera = boxes3d_camera.copy()
+    xyz_camera = boxes3d_camera[:, 0:3]
+    l, h, w = boxes3d_camera[:, 3:4], boxes3d_camera[:, 4:5], boxes3d_camera[:, 5:6]
+    r = boxes3d_camera[:, 6:7]
+    xyz_lidar = calib.rect_to_lidar(xyz_camera)
+    xyz_lidar[:, 2] += h.reshape(-1) / 2
+    heading = -r - np.pi / 2
+    return np.concatenate([xyz_lidar, l, w, h, heading], axis=-1)
+
+
+def boxes3d_to_corners3d_kitti_camera(boxes3d, bottom_center=True):
+    """(N, 7) camera boxes [x,y,z,l,h,w,ry] -> (N, 8, 3) corners.
+
+    Reference box_utils.py:241-276: y is down; box origin at bottom center.
+    """
+    boxes_num = boxes3d.shape[0]
+    l, h, w = boxes3d[:, 3], boxes3d[:, 4], boxes3d[:, 5]
+    x_corners = np.array([l / 2., l / 2., -l / 2., -l / 2.,
+                          l / 2., l / 2., -l / 2., -l / 2.], dtype=np.float32).T
+    z_corners = np.array([w / 2., -w / 2., -w / 2., w / 2.,
+                          w / 2., -w / 2., -w / 2., w / 2.], dtype=np.float32).T
+    if bottom_center:
+        y_corners = np.zeros((boxes_num, 8), dtype=np.float32)
+        y_corners[:, 4:8] = -h.reshape(boxes_num, 1).repeat(4, axis=1)
+    else:
+        y_corners = np.array([h / 2., h / 2., h / 2., h / 2.,
+                              -h / 2., -h / 2., -h / 2., -h / 2.],
+                             dtype=np.float32).T
+    ry = boxes3d[:, 6]
+    zeros, ones = np.zeros(ry.size, dtype=np.float32), np.ones(ry.size, dtype=np.float32)
+    rot_list = np.array([[np.cos(ry), zeros, -np.sin(ry)],
+                         [zeros, ones, zeros],
+                         [np.sin(ry), zeros, np.cos(ry)]])
+    R_list = np.transpose(rot_list, (2, 0, 1))
+    temp_corners = np.concatenate((
+        x_corners.reshape(-1, 8, 1), y_corners.reshape(-1, 8, 1),
+        z_corners.reshape(-1, 8, 1)), axis=2)
+    rotated_corners = np.matmul(temp_corners, R_list)
+    x_loc, y_loc, z_loc = boxes3d[:, 0], boxes3d[:, 1], boxes3d[:, 2]
+    x = x_loc.reshape(-1, 1) + rotated_corners[:, :, 0]
+    y = y_loc.reshape(-1, 1) + rotated_corners[:, :, 1]
+    z = z_loc.reshape(-1, 1) + rotated_corners[:, :, 2]
+    return np.concatenate((
+        x.reshape(-1, 8, 1), y.reshape(-1, 8, 1), z.reshape(-1, 8, 1)),
+        axis=2).astype(np.float32)
+
+
+def boxes3d_kitti_camera_to_imageboxes(boxes3d, calib, image_shape=None):
+    """camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes
+    (reference box_utils.py:279-306)."""
+    corners3d = boxes3d_to_corners3d_kitti_camera(boxes3d)
+    pts_img, _ = calib.corners3d_to_img_boxes(corners3d)
+    boxes2d_image = pts_img
+    if image_shape is not None:
+        boxes2d_image[:, 0] = np.clip(boxes2d_image[:, 0], a_min=0,
+                                      a_max=image_shape[1] - 1)
+        boxes2d_image[:, 1] = np.clip(boxes2d_image[:, 1], a_min=0,
+                                      a_max=image_shape[0] - 1)
+        boxes2d_image[:, 2] = np.clip(boxes2d_image[:, 2], a_min=0,
+                                      a_max=image_shape[1] - 1)
+        boxes2d_image[:, 3] = np.clip(boxes2d_image[:, 3], a_min=0,
+                                      a_max=image_shape[0] - 1)
+    return boxes2d_image
+
+
 def in_box_bev_np(points_xy, boxes3d):
     """(N,2) points x (M,7) boxes -> (M,N) bool BEV containment (numpy)."""
     shift = points_xy[None, :, :] - boxes3d[:, None, 0:2]  # (M, N, 2)

@@ -66,6 +66,23 @@ def get_voxel_centers(voxel_coords, downsample_times, voxel_size, point_cloud_ra
     return (voxel_centers + 0.5) * voxel_size + pc_range
 
 
+def keep_arrays_by_name(gt_names, used_classes):
+    """Indices of entries whose name is in used_classes (reference
+    common_utils.py:99-103)."""
+    inds = [i for i, x in enumerate(gt_names) if x in used_classes]
+    return np.array(inds, dtype=np.int64)
+
+
+def drop_info_with_name(info, name):
+    """Filter annotation dict rows with a given name (reference
+    common_utils.py:24-31)."""
+    ret_info = {}
+    keep_indices = [i for i, x in enumerate(info['name']) if x != name]
+    for key in info.keys():
+        ret_info[key] = info[key][keep_indices]
+    return ret_info
+
+
 def create_logger(log_file=None, rank=0, log_level=logging.INFO):
     logger = logging.getLogger(__name__)
     logger.setLevel(log_level if rank == 0 else 'ERROR')

@@ -91,8 +91,8 @@ def make_batch(batch_size=2, n_cap=256, seed=0):
         z = lin % nz
         y = (lin // nz) % ny
         x = lin // (nz * ny)
-        c = np.zeros((n_cap, 4), np.int32)
-        c[:n] = np.stack([np.full(n, b), z, y, x], 1)
+        c = np.zeros((n_cap, 3), np.int32)
+        c[:n] = np.stack([z, y, x], 1)
         v = np.zeros((n_cap, 5, 4), np.float32)
         v[:n] = rng.rand(n, 5, 4)
         voxels.append(v)
@@ -107,12 +107,11 @@ def make_batch(batch_size=2, n_cap=256, seed=0):
     gt[:, 0] = [3.0, 0.0, -1.0, 3.7, 1.6, 1.5, 0.3, 1]
     gt[:, 1] = [1.5, -1.5, -1.0, 3.9, 1.6, 1.4, -0.5, 1]
     batch = {
-        'voxels': jnp.asarray(np.concatenate(voxels)),
-        'voxel_coords': jnp.asarray(np.concatenate(coords)),
-        'voxel_num_points': jnp.asarray(np.concatenate(nums)),
-        'voxel_valid': jnp.asarray(np.concatenate(valid)),
+        'voxels': jnp.asarray(np.stack(voxels)),
+        'voxel_coords': jnp.asarray(np.stack(coords)),
+        'voxel_num_points': jnp.asarray(np.stack(nums)),
+        'voxel_valid': jnp.asarray(np.stack(valid)),
         'gt_boxes': jnp.asarray(gt),
-        'batch_size': batch_size,
     }
     return batch, meta
 
@@ -138,16 +137,12 @@ def test_inference_shapes(model_and_vars):
 
 def test_inference_jittable(model_and_vars):
     model, variables, batch = model_and_vars
-    arrays = {k: v for k, v in batch.items() if k != 'batch_size'}
-    bs = batch['batch_size']
 
     @jax.jit
-    def infer(variables, arrays):
-        b = dict(arrays)
-        b['batch_size'] = bs  # static by closure
-        return model.apply(variables, b, train=False)
+    def infer(variables, batch):
+        return model.apply(variables, dict(batch), train=False)
 
-    out = infer(variables, arrays)
+    out = infer(variables, batch)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
 
