@@ -89,8 +89,21 @@ class DatasetTemplate:
             out[:n] = gt[:n]
             data_dict['gt_boxes'] = out
 
+        # keep padded raw points when a model consumes them (FV2P decoder)
+        if self.dataset_cfg.get('KEEP_RAW_POINTS', False):
+            p_cap = int(self.dataset_cfg.get('MAX_POINTS_PER_SCAN', 24000))
+            pts = data_dict['points']
+            out_p = np.zeros((p_cap, pts.shape[1]), np.float32)
+            pv = np.zeros((p_cap,), bool)
+            n = min(pts.shape[0], p_cap)
+            out_p[:n] = pts[:n]
+            pv[:n] = True
+            data_dict['points'] = out_p
+            data_dict['points_valid'] = pv
+        else:
+            data_dict.pop('points', None)
+
         data_dict.pop('gt_names', None)
-        data_dict.pop('points', None)
         return data_dict
 
     @staticmethod

@@ -16,8 +16,12 @@ from ...utils import iou3d
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone, DCNBEVBackbone
 from ..backbones_2d.map_to_bev.height_compression import HeightCompression
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.pfe.residual_v2p_decoder import ResidualVoxelToPointDecoder
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
+from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, generate_anchors
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
+from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
+from ..roi_heads.iouguided_roi_head import IoUGuidedRoIHead, roi_head_loss
 
 MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
                    'backbone_2d', 'dense_head', 'post_pfe', 'point_head',
@@ -29,7 +33,8 @@ BACKBONE_3D_REGISTRY = {'VoxelResBackBone8x': VoxelResBackBone8x,
 MAP_TO_BEV_REGISTRY = {'HeightCompression': HeightCompression}
 BACKBONE_2D_REGISTRY = {'BaseBEVBackbone': BaseBEVBackbone,
                         'DCNBEVBackbone': DCNBEVBackbone}
-DENSE_HEAD_REGISTRY = {'CenterAFHeadSingle': CenterAFHeadSingle}
+DENSE_HEAD_REGISTRY = {'CenterAFHeadSingle': CenterAFHeadSingle,
+                       'AnchorHeadSingle': AnchorHeadSingle}
 
 
 class Detector3DTemplate(nn.Module):
@@ -82,12 +87,47 @@ class Detector3DTemplate(nn.Module):
         bev_cfg = self.model_cfg.get('BACKBONE_2D')
         in_ch = int(sum(bev_cfg.get('NUM_UPSAMPLE_FILTERS',
                                     [bev_cfg['NUM_FILTERS'][-1]])))
+        common = dict(model_cfg=StaticConfig(cfg), input_channels=in_ch,
+                      num_class=self.num_class,
+                      class_names=tuple(self.class_names),
+                      compute_dtype=self.compute_dtype, name=name)
+        if cfg.NAME == 'AnchorHeadSingle':
+            return AnchorHeadSingle(
+                grid_size=tuple(self.dataset_meta['grid_size']),
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                **common)
         return DENSE_HEAD_REGISTRY[cfg.NAME](
-            model_cfg=StaticConfig(cfg), input_channels=in_ch, num_class=self.num_class,
-            class_names=tuple(self.class_names),
             voxel_size=tuple(self.dataset_meta['voxel_size']),
             point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
-            compute_dtype=self.compute_dtype, name=name)
+            **common)
+
+    def _build_post_pfe(self):
+        cfg = self.model_cfg.get('POST_PFE')
+        if cfg is None:
+            return None
+        return ResidualVoxelToPointDecoder(
+            model_cfg=StaticConfig(cfg),
+            voxel_size=tuple(self.dataset_meta['voxel_size']),
+            point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+            name='post_pfe')
+
+    def _build_point_head(self):
+        cfg = self.model_cfg.get('POINT_HEAD')
+        if cfg is None:
+            return None
+        in_ch = int(self.model_cfg.POST_PFE.OUT_BLOCK.OUT_CHANNELS)
+        return PointHeadSimple(model_cfg=StaticConfig(cfg), input_channels=in_ch,
+                               num_class=self.num_class, name='point_head')
+
+    def _build_roi_head(self):
+        cfg = self.model_cfg.get('ROI_HEAD')
+        if cfg is None:
+            return None
+        return IoUGuidedRoIHead(
+            model_cfg=StaticConfig(cfg), input_channels=0,
+            num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
+            point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+            voxel_size=tuple(self.dataset_meta['voxel_size']), name='roi_head')
 
     def build_module_list(self):
         builders = {
@@ -97,9 +137,9 @@ class Detector3DTemplate(nn.Module):
             'pfe': lambda: None,
             'backbone_2d': self._build_backbone_2d,
             'dense_head': self._build_dense_head,
-            'post_pfe': lambda: None,
-            'point_head': lambda: None,
-            'roi_head': lambda: None,
+            'post_pfe': self._build_post_pfe,
+            'point_head': self._build_point_head,
+            'roi_head': self._build_roi_head,
         }
         modules = []
         for slot in MODULE_TOPOLOGY:
@@ -166,7 +206,21 @@ class MGAF3DSSD(Detector3DTemplate):
             batch_dict.update(self.post_processing_withfgscores(batch_dict))
         return batch_dict
 
-DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD}
+class FromVoxelToPoint(Detector3DTemplate):
+    """Two-stage IoU-guided detector (reference
+    ``pcdet/models/detectors/fv2p.py``): anchor RPN -> voxel-to-point decoder
+    -> point seg head -> IoU-guided RoI head with two-pass alignment."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing_withfgscores(batch_dict))
+        return batch_dict
+
+
+DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint}
 
 
 def compute_training_loss(model, batch_dict):
@@ -178,6 +232,26 @@ def compute_training_loss(model, batch_dict):
             StaticConfig(model.model_cfg.DENSE_HEAD), batch_dict['head_ret'])
         tb['loss'] = rpn_loss
         return rpn_loss, tb
+    if isinstance(model, FromVoxelToPoint):
+        import jax.numpy as jnp
+        from ..dense_heads.anchor_head import generate_anchors
+        cfg = model.model_cfg
+        anchors = generate_anchors(
+            cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+            tuple(model.dataset_meta['grid_size']),
+            tuple(model.dataset_meta['point_cloud_range']))
+        rpn_loss, tb = anchor_head_loss(
+            StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+            jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
+        point_loss, tb_p = point_head_loss(
+            StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        rcnn_loss, tb_r = roi_head_loss(
+            StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
+        tb.update(tb_p)
+        tb.update(tb_r)
+        loss = rpn_loss + point_loss + rcnn_loss
+        tb['loss'] = loss
+        return loss, tb
     raise NotImplementedError(type(model))
 
 

@@ -1,0 +1,558 @@
+"""IoU-guided RoI head (TPU-native re-design of reference
+``iouguided_roi_head.py`` + ``roi_withiou_head_template.py`` +
+``target_assigner/proposal_target_layer.py``).
+
+Three streams per RoI — (a) pooled keypoints through an xyz-up MLP + a
+multi-scale grouping SA module aggregated at 6x6x6 grid points, (b) bilinear
+BEV pooling at the global grid points, (c) corner-geometry encoding — fused
+into cls + (iou, 7-dim reg) predictions. Eval runs the two-pass IoU
+alignment; train samples 128 RoIs/image with jax.random (fixed shapes)."""
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import pointops
+from ...utils import box_coder_utils, box_utils, common_utils, iou3d, loss_utils
+
+_BN = dict(momentum=0.99, epsilon=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# proposal layer (reference roi_withiou_head_template.py:45-99)
+# ---------------------------------------------------------------------------
+
+def proposal_layer(batch_box_preds, batch_cls_preds, nms_cfg):
+    """NMS the dense predictions into fixed (B, POST) RoIs."""
+    pre = int(min(nms_cfg.NMS_PRE_MAXSIZE, batch_box_preds.shape[1]))
+    post = int(nms_cfg.NMS_POST_MAXSIZE)
+    thresh = float(nms_cfg.NMS_THRESH)
+
+    roi_scores_all = jnp.max(batch_cls_preds, axis=-1)
+    roi_labels_all = jnp.argmax(batch_cls_preds, axis=-1) + 1
+
+    def per_sample(args):
+        boxes, scores = args
+        keep_idx, keep_valid = iou3d.nms_rotated(
+            boxes, scores, thresh, pre_max=pre, post_max=post)
+        return keep_idx, keep_valid
+
+    keep_idx, keep_valid = jax.lax.map(
+        per_sample, (batch_box_preds, roi_scores_all))
+
+    rois = jnp.take_along_axis(batch_box_preds, keep_idx[..., None], axis=1)
+    roi_scores = jnp.take_along_axis(roi_scores_all, keep_idx, axis=1)
+    roi_labels = jnp.take_along_axis(roi_labels_all, keep_idx, axis=1)
+    rois = jnp.where(keep_valid[..., None], rois, 0.0)
+    roi_scores = jnp.where(keep_valid, roi_scores, 0.0)
+    roi_labels = jnp.where(keep_valid, roi_labels, 0)
+    return rois, roi_scores, roi_labels, keep_valid
+
+
+# ---------------------------------------------------------------------------
+# proposal target layer (reference proposal_target_layer.py)
+# ---------------------------------------------------------------------------
+
+def _max_iou_with_same_class(rois, roi_labels, gt_boxes, gt_labels, gt_valid):
+    ious = iou3d.boxes_iou3d(rois, gt_boxes)           # (R, M)
+    same = (roi_labels[:, None] == gt_labels[None, :]) & gt_valid[None, :]
+    ious = jnp.where(same, ious, 0.0)
+    return jnp.max(ious, axis=1), jnp.argmax(ious, axis=1)
+
+
+def _sorted_candidates(mask):
+    """Indices of True entries first (original order), padded with 0."""
+    n = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True)
+    return order, jnp.sum(mask.astype(jnp.int32))
+
+
+def sample_rois_single(key, rois, roi_scores, roi_labels, roi_valid, gt,
+                       cfg):
+    """Subsample ROI_PER_IMAGE rois (reference subsample_rois :145-229)."""
+    n_sample = int(cfg.ROI_PER_IMAGE)
+    fg_per_image = int(np.round(cfg.FG_RATIO * n_sample))
+    fg_thresh = min(float(cfg.REG_FG_THRESH), float(cfg.CLS_FG_THRESH))
+    bg_lo = float(cfg.CLS_BG_THRESH_LO)
+    hard_ratio = float(cfg.HARD_BG_RATIO)
+
+    gt_boxes = gt[:, :7]
+    gt_labels = gt[:, 7].astype(jnp.int32)
+    gt_valid = gt_labels > 0
+    # guarantee at least one (dummy) gt like the reference's new_zeros row
+    max_overlaps, gt_assignment = _max_iou_with_same_class(
+        rois, roi_labels, gt_boxes, gt_labels, gt_valid)
+    max_overlaps = jnp.where(roi_valid, max_overlaps, 0.0)
+
+    fg_mask = (max_overlaps >= fg_thresh) & roi_valid
+    easy_mask = (max_overlaps < bg_lo) & roi_valid
+    hard_mask = (max_overlaps >= bg_lo) & (max_overlaps < fg_thresh) & roi_valid
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    r = rois.shape[0]
+
+    # fg: random permutation, take first min(fg_per_image, nf)
+    rand = jax.random.uniform(k1, (r,))
+    fg_rank = jnp.where(fg_mask, rand, -jnp.inf)
+    _, fg_pick = jax.lax.top_k(fg_rank, fg_per_image)
+    nf = jnp.sum(fg_mask.astype(jnp.int32))
+    fg_take = jnp.minimum(fg_per_image, nf)
+
+    # bg candidate lists
+    hard_list, n_hard = _sorted_candidates(hard_mask)
+    easy_list, n_easy = _sorted_candidates(easy_mask)
+    bg_num = n_sample - fg_take
+    n_bg_avail = n_hard + n_easy
+
+    hard_num = jnp.where(
+        (n_hard > 0) & (n_easy > 0),
+        jnp.minimum((bg_num.astype(jnp.float32) * hard_ratio).astype(jnp.int32),
+                    n_hard),
+        jnp.where(n_hard > 0, bg_num, 0))
+
+    j = jnp.arange(n_sample)
+    hr = jax.random.randint(k2, (n_sample,), 0, 2 ** 30)
+    er = jax.random.randint(k3, (n_sample,), 0, 2 ** 30)
+    hard_pick = hard_list[hr % jnp.maximum(n_hard, 1)]
+    easy_pick = easy_list[er % jnp.maximum(n_easy, 1)]
+    bg_pick = jnp.where(j < hard_num, hard_pick, easy_pick)
+    # degenerate: no bg at all -> resample fg with replacement (reference
+    # fg>0, bg==0 branch)
+    fg_list, _ = _sorted_candidates(fg_mask)
+    fr = jax.random.randint(k4, (n_sample,), 0, 2 ** 30)
+    fg_fill = fg_list[fr % jnp.maximum(nf, 1)]
+    bg_pick = jnp.where(n_bg_avail > 0, bg_pick, fg_fill)
+
+    # assemble: slots [0, fg_take) <- fg_pick; [fg_take, n_sample) <- bg_pick
+    slot = jnp.arange(n_sample)
+    fg_slot_idx = fg_pick[jnp.minimum(slot, fg_per_image - 1)]
+    bg_slot_idx = bg_pick[jnp.clip(slot - fg_take, 0, n_sample - 1)]
+    sampled = jnp.where(slot < fg_take, fg_slot_idx, bg_slot_idx)
+
+    return {
+        'rois': rois[sampled],
+        'roi_labels': roi_labels[sampled],
+        'roi_scores': roi_scores[sampled],
+        'gt_iou_of_rois': max_overlaps[sampled],
+        'gt_of_rois': gt[gt_assignment[sampled]],
+    }
+
+
+def assign_targets(key, batch_dict, target_cfg):
+    """Batched sampling + canonical gt transform (reference
+    roi_withiou_head_template.assign_targets :101-131)."""
+    b = batch_dict['rois'].shape[0]
+    keys = jax.random.split(key, b)
+
+    out = jax.vmap(lambda k, r, s, l, v, g: sample_rois_single(
+        k, r, s, l, v, g, target_cfg))(
+        keys, batch_dict['rois'], batch_dict['roi_scores'],
+        batch_dict['roi_labels'], batch_dict['roi_valid'],
+        batch_dict['gt_boxes'])
+
+    rois = out['rois']
+    gt_of_rois = out['gt_of_rois']                       # (B, N, 8)
+    out['gt_of_rois_src'] = gt_of_rois
+
+    roi_center = rois[..., 0:3]
+    roi_ry = rois[..., 6] % (2 * np.pi)
+    ct = gt_of_rois.at[..., 0:3].add(-roi_center)
+    ct = ct.at[..., 6].add(-roi_ry)
+    flat = ct.reshape(-1, 1, ct.shape[-1])
+    flat = common_utils.rotate_points_along_z(flat, -roi_ry.reshape(-1))
+    ct = flat.reshape(gt_of_rois.shape)
+
+    heading = ct[..., 6] % (2 * np.pi)
+    opposite = (heading > np.pi * 0.5) & (heading < np.pi * 1.5)
+    heading = jnp.where(opposite, (heading + np.pi) % (2 * np.pi), heading)
+    heading = jnp.where(heading > np.pi, heading - 2 * np.pi, heading)
+    heading = jnp.clip(heading, -np.pi / 2, np.pi / 2)
+    ct = ct.at[..., 6].set(heading)
+    out['gt_of_rois'] = ct
+
+    iou_fg, iou_bg = float(target_cfg.CLS_FG_THRESH), float(target_cfg.CLS_BG_THRESH)
+    ious = out['gt_iou_of_rois']
+    fg = ious > iou_fg
+    bg = ious < iou_bg
+    soft = (ious - iou_bg) / (iou_fg - iou_bg)
+    cls_labels = jnp.where(fg, 1.0, jnp.where(bg, 0.0, soft))
+    out['rcnn_cls_labels'] = cls_labels
+    out['reg_valid_mask'] = (ious > float(target_cfg.REG_FG_THRESH)).astype(jnp.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# feature modules
+# ---------------------------------------------------------------------------
+
+class _MLP1x1(nn.Module):
+    """Stack of 1x1 'conv' (Dense) + optional BN + ReLU over last axis."""
+    channels: Tuple[int, ...]
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, use_bias=not self.use_bn, name=f'fc{i}')(x)
+            if self.use_bn:
+                shape = x.shape
+                x = nn.BatchNorm(use_running_average=not train, **_BN,
+                                 name=f'bn{i}')(x.reshape(-1, shape[-1]))
+                x = x.reshape(shape)
+            x = nn.relu(x)
+        return x
+
+
+class _SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction at given centers (reference
+    PointnetSAModuleMSG with use_xyz=True, bn per cfg). Operates on a batch
+    of point sets: grouping via jax.vmap, MLPs broadcast over leading dims."""
+    radii: Tuple[float, ...]
+    nsamples: Tuple[int, ...]
+    mlps: Tuple[Tuple[int, ...], ...]
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, valid, feats, centers, *, train: bool):
+        """xyz (R, P, 3), valid (R, P), feats (R, P, C), centers (R, G, 3)
+        -> (R, G, sum(mlp[-1]))."""
+        outs = []
+        for i, (r, ns) in enumerate(zip(self.radii, self.nsamples)):
+            grouped_xyz, grouped_feats, _ = jax.vmap(
+                lambda c, x, v, f: pointops.ball_query_group(c, x, v, f, r, ns)
+            )(centers, xyz, valid, feats)
+            g = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+            g = _MLP1x1(tuple(self.mlps[i]), self.use_bn,
+                        name=f'mlp{i}')(g, train=train)
+            outs.append(jnp.max(g, axis=2))            # (R, G, C_out)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class _CGEModule(nn.Module):
+    """Corner geometry encoding (reference nn_modules.py:6-55):
+    per-corner 1x1 MLP then a full 8-corner interaction layer."""
+    up_filters: Tuple[int, ...]
+    interact_filters: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, corners, *, train: bool):
+        x = corners                                     # (R, 8, 3)
+        for i, ch in enumerate(self.up_filters):
+            x = nn.Dense(ch, use_bias=False, name=f'up{i}')(x)
+            s = x.shape
+            x = nn.BatchNorm(use_running_average=not train, **_BN,
+                             name=f'up_bn{i}')(x.reshape(-1, s[-1])).reshape(s)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)                   # (R, 8*C)
+        for k, ch in enumerate(self.interact_filters):
+            x = nn.Dense(ch, use_bias=False, name=f'inter{k}')(x)
+            x = nn.BatchNorm(use_running_average=not train, **_BN,
+                             name=f'inter_bn{k}')(x)
+            x = nn.relu(x)
+        return x                                        # (R, C)
+
+
+class _FCHead(nn.Module):
+    """make_fc_layers equivalent (reference template :29-43): [fc+BN+ReLU
+    (+Dropout after the first)] x len(fc_list) + final fc."""
+    fc_list: Tuple[int, ...]
+    out_channels: int
+    dp_ratio: float = 0.3
+    final_init_std: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        for k, ch in enumerate(self.fc_list):
+            x = nn.Dense(ch, use_bias=False, name=f'fc{k}')(x)
+            x = nn.BatchNorm(use_running_average=not train, **_BN,
+                             name=f'bn{k}')(x)
+            x = nn.relu(x)
+            if k == 0 and self.dp_ratio > 0:
+                x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
+        init = nn.initializers.normal(self.final_init_std) \
+            if self.final_init_std > 0 else nn.initializers.lecun_normal()
+        return nn.Dense(self.out_channels, kernel_init=init, name='out')(x)
+
+
+# ---------------------------------------------------------------------------
+# the head
+# ---------------------------------------------------------------------------
+
+class _RoIFeatureNet(nn.Module):
+    """All three feature streams + heads for one set of rois. Instantiated
+    once and called twice at eval (two-pass) so parameters are shared."""
+    model_cfg: Any
+    num_class: int
+    code_size: int
+    point_cloud_range: Tuple[float, ...]
+    voxel_size: Tuple[float, float, float]
+
+    @nn.compact
+    def __call__(self, batch_dict, batch_rois, *, train: bool):
+        cfg = self.model_cfg
+        b, r = batch_rois.shape[0], batch_rois.shape[1]
+        num_sampled = int(cfg.ROI_POINT_POOL.NUM_SAMPLED_POINTS)
+        grid_size = int(cfg.ROI_GRID_POOL.GRID_SIZE)
+        use_bn = bool(cfg.USE_BN)
+
+        # ---- point pooling (reference roipool3d_gpu :144-193)
+        point_coords = batch_dict['point_coords']        # (B, K, 3)
+        point_feats = batch_dict['point_features']       # (B, K, C)
+        point_scores = jax.lax.stop_gradient(batch_dict['point_cls_scores'])
+        depth_norm = float(cfg.ROI_POINT_POOL.DEPTH_NORMALIZER)
+        point_depths = jnp.linalg.norm(point_coords, axis=-1) / depth_norm - 0.5
+        feats_all = jnp.concatenate(
+            [point_scores[..., None], point_depths[..., None], point_feats],
+            axis=-1)
+
+        def pool_one(pts, f, roi_set):
+            return pointops.roipoint_pool3d(
+                pts, f, jnp.ones(pts.shape[0], bool), roi_set[:, :7],
+                num_sampled, tuple(cfg.ROI_POINT_POOL.POOL_EXTRA_WIDTH))
+
+        pooled, empty = jax.vmap(pool_one)(point_coords, feats_all, batch_rois)
+        pooled = pooled.reshape(b * r, num_sampled, -1)
+        empty = empty.reshape(b * r)
+        rois_flat = batch_rois.reshape(b * r, -1)
+
+        # canonical transform
+        xyz = pooled[..., 0:3] - rois_flat[:, None, 0:3]
+        xyz = common_utils.rotate_points_along_z(xyz, -rois_flat[:, 6])
+        pooled = jnp.concatenate([xyz, pooled[..., 3:]], axis=-1)
+        pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+        pooled = jax.lax.stop_gradient(pooled)
+
+        # ---- xyz-up + merge (reference :232-239)
+        n_prefix = 5  # xyz + score + depth
+        xyz_feat = _MLP1x1(tuple(cfg.XYZ_UP_LAYER), use_bn,
+                           name='xyz_up')(pooled[..., :n_prefix], train=train)
+        pt_feat = pooled[..., n_prefix:]
+        merged = jnp.concatenate([xyz_feat, pt_feat], axis=-1)
+        merged = _MLP1x1((int(cfg.XYZ_UP_LAYER[-1]),), use_bn,
+                         name='merge_down')(merged, train=train)
+
+        # ---- grid points
+        local_grid = _dense_grid_points(rois_flat, grid_size)  # (BR,G,3)
+        global_grid = common_utils.rotate_points_along_z(
+            local_grid, rois_flat[:, 6]) + rois_flat[:, None, 0:3]
+
+        # ---- BEV stream (reference :248-261 + bev_grid_pooling.py)
+        bev = batch_dict['spatial_features_before_head']  # (B, H, W, Cb)
+        stride = batch_dict['spatial_features_stride']
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        x0, y0 = self.point_cloud_range[0], self.point_cloud_range[1]
+        gg = global_grid.reshape(b, r * local_grid.shape[1], 3)
+        xi = (gg[..., 0] - x0) / vx / stride
+        yi = (gg[..., 1] - y0) / vy / stride
+        bev_feats = jax.vmap(pointops.bilinear_interpolate_bev)(bev, xi, yi)
+        bev_cfg = cfg.BEV_GRID_POOL
+        if int(bev_cfg.IN_CHANNELS) != int(bev_cfg.OUT_CHANNELS):
+            sh = bev_feats.shape
+            bf = nn.Dense(int(bev_cfg.OUT_CHANNELS), use_bias=False,
+                          name='bev_compress')(bev_feats.reshape(-1, sh[-1]))
+            bf = nn.BatchNorm(use_running_average=not train, **_BN,
+                              name='bev_compress_bn')(bf)
+            bev_feats = nn.relu(bf).reshape(sh[0], sh[1], -1)
+        grid_bev = bev_feats.reshape(b * r, local_grid.shape[1], -1)
+
+        # ---- point stream: SA module at local grid points (reference :264-281)
+        sa_cfg = cfg.ROI_GRID_POOL.SA_CONFIG
+        mlps = [tuple(m) for m in sa_cfg.MLPS[0]]
+        point_valid = jnp.broadcast_to(~empty[:, None],
+                                       (b * r, num_sampled))
+        grid_point = _SAModuleMSG(
+            tuple(sa_cfg.RADIUS[0]), tuple(sa_cfg.NSAMPLE[0]), tuple(mlps),
+            use_bn, name='sa_module')(
+            pooled[..., 0:3], point_valid, merged, local_grid, train=train)
+
+        # ---- grid interaction (reference :73-91, :284-286)
+        grid_feats = jnp.concatenate([grid_point, grid_bev], axis=-1)
+        flat = grid_feats.reshape(b * r, -1)
+        inter = flat
+        for k, ch in enumerate(cfg.GRID_INTERACT.INTERACT_FILTERS):
+            inter = nn.Dense(ch, use_bias=False, name=f'grid_inter{k}')(inter)
+            inter = nn.BatchNorm(use_running_average=not train, **_BN,
+                                 name=f'grid_inter_bn{k}')(inter)
+            inter = nn.relu(inter)
+            if k != len(cfg.GRID_INTERACT.INTERACT_FILTERS) - 1 \
+                    and float(cfg.DP_RATIO) > 0:
+                inter = nn.Dropout(float(cfg.DP_RATIO),
+                                   deterministic=not train)(inter)
+
+        # ---- CGE stream (reference :289-290)
+        ct_corners = box_utils.boxes_to_CTcorners_3d(rois_flat[:, :7])
+        cge = _CGEModule(tuple(cfg.CGE_MODULE.UP_FILTERS),
+                         tuple(cfg.CGE_MODULE.INTERACT_FILTERS),
+                         name='cge')(ct_corners, train=train)
+
+        # ---- fusion (reference nn_modules.py:58-83)
+        fused = jnp.concatenate([inter, cge], axis=-1)
+        for i, ch in enumerate(cfg.FUSE_FILTERS):
+            fused = nn.Dense(ch, use_bias=False, name=f'fuse{i}')(fused)
+            fused = nn.BatchNorm(use_running_average=not train, **_BN,
+                                 name=f'fuse_bn{i}')(fused)
+            fused = nn.relu(fused)
+
+        rcnn_cls = _FCHead(tuple(cfg.CLS_FC), self.num_class,
+                           float(cfg.DP_RATIO), name='cls_head')(fused, train=train)
+        regiou = _FCHead(tuple(cfg.REG_FC),
+                         (1 + self.code_size) * self.num_class,
+                         float(cfg.DP_RATIO), final_init_std=0.001,
+                         name='reg_head')(fused, train=train)
+        rcnn_iou = regiou[:, :1]
+        rcnn_reg = regiou[:, 1:]
+        return rcnn_cls, rcnn_reg, rcnn_iou
+
+
+def _dense_grid_points(rois_flat, grid_size):
+    """(BR, G^3, 3) local grid points (reference :207-220)."""
+    g = grid_size
+    idx = np.stack(np.meshgrid(np.arange(g), np.arange(g), np.arange(g),
+                               indexing='ij'), axis=-1).reshape(-1, 3)
+    idx = jnp.asarray(idx, jnp.float32)
+    sizes = rois_flat[:, None, 3:6]
+    return (idx[None] + 0.5) / g * sizes - sizes / 2
+
+
+class IoUGuidedRoIHead(nn.Module):
+    model_cfg: Any
+    input_channels: int
+    num_class: int
+    point_cloud_range: Tuple[float, ...]
+    voxel_size: Tuple[float, float, float]
+
+    def _box_coder(self):
+        return getattr(box_coder_utils, self.model_cfg.TARGET_CONFIG.BOX_CODER)()
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        cfg = self.model_cfg
+
+        rois, roi_scores, roi_labels, roi_valid = proposal_layer(
+            batch_dict['batch_box_preds'], batch_dict['batch_cls_preds'],
+            cfg.NMS_CONFIG['TRAIN' if train else 'TEST'])
+        batch_dict.update(rois=rois, roi_scores=roi_scores,
+                          roi_labels=roi_labels, roi_valid=roi_valid)
+
+        ret = {}
+        if train:
+            key = self.make_rng('sampling')
+            targets = assign_targets(key, batch_dict, cfg.TARGET_CONFIG)
+            batch_dict['rois'] = targets['rois']
+            batch_dict['roi_labels'] = targets['roi_labels']
+            batch_dict['roi_scores'] = targets['roi_scores']
+            ret.update(targets)
+
+        fnet = _RoIFeatureNet(
+            model_cfg=cfg, num_class=self.num_class,
+            code_size=self._box_coder().code_size,
+            point_cloud_range=self.point_cloud_range,
+            voxel_size=self.voxel_size, name='feature_net')
+        rcnn_cls0, rcnn_reg0, rcnn_iou0 = fnet(
+            batch_dict, batch_dict['rois'], train=train)
+
+        if train:
+            ret['rcnn_cls'] = rcnn_cls0
+            ret['rcnn_reg'] = rcnn_reg0
+            ret['rcnn_iouscore'] = rcnn_iou0
+            ret['rois_sampled'] = batch_dict['rois']
+            batch_dict['roi_head_ret'] = ret
+        else:
+            cls0, box0, iou0 = self._generate_predicted_boxes(
+                batch_dict['rois'], rcnn_cls0, rcnn_reg0, rcnn_iou0)
+            # two-pass IoU alignment (reference :340-379)
+            rcnn_cls1, rcnn_reg1, rcnn_iou1 = fnet(
+                batch_dict, box0, train=train)
+            _, _, iou1 = self._generate_predicted_boxes(
+                box0, rcnn_cls1, rcnn_reg1, rcnn_iou1)
+            iou1 = jnp.clip(iou1 * 0.5 + 0.5, 1e-3, 1.0)
+            final_score = jax.nn.sigmoid(cls0) * iou1
+
+            batch_dict['batch_cls_preds'] = cls0
+            batch_dict['batch_box_preds'] = box0
+            batch_dict['batch_iouscore_preds'] = final_score
+            batch_dict['has_class_labels'] = True
+            batch_dict['cls_preds_normalized'] = False
+        return batch_dict
+
+    def _generate_predicted_boxes(self, rois, cls_preds, box_preds, iou_preds):
+        """(reference roi_withiou_head_template.generate_predicted_boxes)."""
+        coder = self._box_coder()
+        b, r = rois.shape[0], rois.shape[1]
+        cls_preds = cls_preds.reshape(b, r, -1)
+        iou_preds = iou_preds.reshape(b, r, -1)
+        box_preds = box_preds.reshape(b, r, coder.code_size)
+
+        local_rois = rois.at[..., 0:3].set(0.0)
+        decoded = coder.decode(box_preds, local_rois)
+        flat = decoded.reshape(b * r, 1, -1)
+        flat = common_utils.rotate_points_along_z(flat, rois[..., 6].reshape(-1))
+        decoded = flat.reshape(b, r, -1)
+        decoded = decoded.at[..., 0:3].add(rois[..., 0:3])
+        return cls_preds, decoded, iou_preds
+
+
+def roi_head_loss(model_cfg, ret):
+    """rcnn cls + reg(+corner) + iouscore losses (reference
+    roi_withiou_head_template.py:133-280)."""
+    cfg = model_cfg.LOSS_CONFIG
+    lw = cfg.LOSS_WEIGHTS
+    coder = getattr(box_coder_utils, model_cfg.TARGET_CONFIG.BOX_CODER)()
+    code_size = coder.code_size
+    tb = {}
+
+    # cls: BCE vs soft iou labels
+    rcnn_cls = ret['rcnn_cls'].reshape(-1)
+    labels = ret['rcnn_cls_labels'].reshape(-1)
+    p = jnp.clip(jax.nn.sigmoid(rcnn_cls), 1e-7, 1 - 1e-7)
+    bce = -(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p))
+    valid = (labels >= 0).astype(jnp.float32)
+    loss_cls = jnp.sum(bce * valid) / jnp.clip(jnp.sum(valid), min=1.0)
+    loss_cls = loss_cls * lw['rcnn_cls_weight']
+    tb['rcnn_loss_cls'] = loss_cls
+
+    # reg on canonical targets
+    fg_mask = ret['reg_valid_mask'].reshape(-1).astype(jnp.float32)
+    fg_sum = jnp.clip(jnp.sum(fg_mask), min=1.0)
+    gt_ct = ret['gt_of_rois'][..., :code_size].reshape(-1, code_size)
+    rois = ret['rois_sampled'].reshape(-1, code_size)
+    rois_anchor = rois.at[:, 0:3].set(0.0).at[:, 6].set(0.0)
+    reg_targets = coder.encode(gt_ct, rois_anchor)
+    rcnn_reg = ret['rcnn_reg'].reshape(-1, code_size)
+    code_w = jnp.asarray(lw['code_weights'], jnp.float32)
+    l1 = loss_utils.smooth_l1(rcnn_reg - reg_targets, beta=1.0 / 9.0) * code_w
+    loss_reg = jnp.sum(l1 * fg_mask[:, None]) / fg_sum * lw['rcnn_reg_weight']
+    tb['rcnn_loss_reg'] = loss_reg
+
+    # corner regularization on decoded fg boxes
+    local_rois = rois.at[:, 0:3].set(0.0)
+    decoded = coder.decode(rcnn_reg, local_rois)
+    decoded = common_utils.rotate_points_along_z(
+        decoded[:, None, :], rois[:, 6])[:, 0]
+    decoded = decoded.at[:, 0:3].add(rois[:, 0:3])
+    gt_src = ret['gt_of_rois_src'][..., :code_size].reshape(-1, code_size)
+    pc = box_utils.boxes_to_corners_3d(decoded[:, :7])
+    gc = box_utils.boxes_to_corners_3d(gt_src[:, :7])
+    gt_flip = gt_src.at[:, 6].add(np.pi)
+    gcf = box_utils.boxes_to_corners_3d(gt_flip[:, :7])
+    dist = jnp.minimum(jnp.linalg.norm(pc - gc, axis=2),
+                       jnp.linalg.norm(pc - gcf, axis=2))    # (N, 8)
+    corner = jnp.mean(loss_utils.smooth_l1(dist, beta=1.0), axis=1)
+    loss_corner = jnp.sum(corner * fg_mask) / fg_sum * lw['rcnn_corner_weight']
+    tb['rcnn_loss_corner'] = loss_corner
+
+    # iouscore
+    iou_labels = (ret['gt_iou_of_rois'].reshape(-1) - 0.5) * 2.0
+    iou_pred = ret['rcnn_iouscore'].reshape(-1)
+    reg_valid = iou_labels >= (float(model_cfg.TARGET_CONFIG.REG_FG_THRESH) - 0.5) * 2
+    rv = reg_valid.astype(jnp.float32)
+    sl1 = loss_utils.smooth_l1(iou_pred - iou_labels, beta=1.0)
+    loss_iou = jnp.sum(sl1 * rv) / jnp.clip(jnp.sum(rv), min=1.0)
+    loss_iou = loss_iou * lw['rcnn_iouscore_weight']
+    tb['rcnn_loss_iouscore'] = loss_iou
+
+    rcnn_loss = loss_cls + loss_reg + loss_corner + loss_iou
+    tb['rcnn_loss'] = rcnn_loss
+    return rcnn_loss, tb

@@ -1,0 +1,214 @@
+"""Point-cloud ops in pure XLA (TPU-native replacements for the reference
+CUDA modules ``pointnet2_stack``/``pointnet2_batch``/``roipoint_pool3d``):
+
+  * farthest_point_sample     <- sampling_gpu.cu (block-reduction FPS)
+  * three_nn_interpolate      <- interpolate_gpu.cu three_nn + three_interpolate
+  * ball_query_group          <- ball_query_gpu.cu + group_points_gpu.cu
+  * roipoint_pool3d           <- roipoint_pool3d_kernel.cu
+  * bilinear_interpolate_bev  <- bev_grid_pooling.bilinear_interpolate_torch
+
+All ops use fixed shapes + validity masks; batch handled by vmap.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e10
+
+
+def farthest_point_sample(points, valid, num_samples):
+    """Iterative FPS over one sample's points.
+
+    Args:
+        points: (N, 3). valid: (N,) bool. num_samples: static int.
+    Returns: (num_samples,) int32 indices. When fewer than num_samples valid
+        points exist, indices wrap around (reference
+        residual_v2p_decoder.py:220-222).
+    """
+    n = points.shape[0]
+    # first selected = first valid point (reference starts at index 0)
+    first = jnp.argmax(valid)
+
+    def body(i, state):
+        dists, idxs = state
+        last = idxs[i - 1]
+        d = jnp.sum(jnp.square(points - points[last]), axis=-1)
+        d = jnp.where(valid, d, -_BIG)
+        dists = jnp.minimum(dists, d)
+        nxt = jnp.argmax(dists)
+        idxs = idxs.at[i].set(nxt.astype(jnp.int32))
+        return dists, idxs
+
+    init_d = jnp.where(valid, _BIG, -_BIG)
+    idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first.astype(jnp.int32))
+    _, idxs = jax.lax.fori_loop(1, num_samples, body, (init_d, idxs0))
+
+    # wraparound padding when nvalid < num_samples
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    ar = jnp.arange(num_samples)
+    wrapped = idxs[ar % jnp.maximum(nvalid, 1)]
+    return jnp.where(ar < nvalid, idxs, wrapped)
+
+
+def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
+                         query_chunk=2048):
+    """Inverse-distance top-3 interpolation of src features onto queries.
+
+    Args:
+        src_xyz: (N, 3); src_valid: (N,) bool; src_feats: (N, C).
+        query_xyz: (M, 3).
+    Returns: (M, C). Distances to invalid sources are +inf.
+
+    Reference: pointnet2_batch top3_interpolate (pointnet2_utils.py:292-326):
+    weight = (1/(d+1e-8)) / sum; d is the *squared* distance in the CUDA
+    three_nn kernel (interpolate_gpu.cu), reproduced here.
+    """
+    m = query_xyz.shape[0]
+    c = src_feats.shape[-1]
+    n_chunks = max(1, (m + query_chunk - 1) // query_chunk)
+    pad = n_chunks * query_chunk - m
+    q = jnp.pad(query_xyz, ((0, pad), (0, 0)))
+
+    inv_valid = jnp.where(src_valid, 0.0, _BIG)
+
+    def one_chunk(qc):
+        d2 = jnp.sum(jnp.square(qc[:, None, :] - src_xyz[None, :, :]), axis=-1)
+        d2 = d2 + inv_valid[None, :]
+        neg_top, idx = jax.lax.top_k(-d2, 3)          # (Q, 3)
+        d_top = -neg_top
+        w = 1.0 / (d_top + 1e-8)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        gathered = src_feats[idx]                     # (Q, 3, C)
+        return jnp.sum(gathered * w[..., None], axis=1)
+
+    out = jax.lax.map(one_chunk, q.reshape(n_chunks, query_chunk, 3))
+    return out.reshape(n_chunks * query_chunk, c)[:m]
+
+
+def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
+    """For each query, the first `nsample` source points within `radius`
+    (reference ball_query_gpu.cu semantics: first-by-index, slot 0 backfills).
+
+    Args:
+        new_xyz: (M, 3) query centers. xyz: (N, 3); xyz_valid: (N,) bool.
+        feats: (N, C).
+    Returns:
+        grouped_xyz: (M, nsample, 3) relative coords (xyz - new_xyz),
+        grouped_feats: (M, nsample, C),
+        any_neighbor: (M,) bool.
+    """
+    d2 = jnp.sum(jnp.square(new_xyz[:, None, :] - xyz[None, :, :]), axis=-1)
+    in_ball = (d2 < radius * radius) & xyz_valid[None, :]     # (M, N)
+
+    rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1) - 1  # slot per hit
+    n = xyz.shape[0]
+    slot = jnp.where(in_ball & (rank < nsample), rank, nsample)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], slot.shape)
+    m = new_xyz.shape[0]
+    idx = jnp.full((m, nsample + 1), -1, jnp.int32)
+    idx = _rowwise_scatter(idx, slot, src)[:, :nsample]
+
+    any_neighbor = idx[:, 0] >= 0
+    # CUDA kernel backfills empty slots with the first found index
+    first = jnp.maximum(idx[:, 0], 0)
+    idx = jnp.where(idx >= 0, idx, first[:, None])
+
+    grouped_xyz = xyz[idx] - new_xyz[:, None, :]
+    grouped_feats = feats[idx]
+    zero = ~any_neighbor[:, None, None]
+    return (jnp.where(zero, 0.0, grouped_xyz),
+            jnp.where(zero, 0.0, grouped_feats), any_neighbor)
+
+
+def _rowwise_scatter(target, col_idx, values):
+    """target (M, S+1); scatter values (M, N) to [row, col_idx] (col S drops)."""
+    mrows = target.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(mrows)[:, None], col_idx.shape)
+    return target.at[rows, col_idx].set(values, mode='drop')
+
+
+def roipoint_pool3d(points, point_feats, points_valid, rois, num_sampled,
+                    pool_extra_width):
+    """Pool the first `num_sampled` points inside each (enlarged) RoI.
+
+    Args:
+        points: (N, 3); point_feats: (N, C); points_valid: (N,) bool.
+        rois: (R, 7).
+    Returns:
+        pooled: (R, num_sampled, 3 + C) [xyz, feats]; empty_flag: (R,) bool.
+
+    Reference: roipoint_pool3d_kernel.cu (assign -> first-512 sample -> pad by
+    wraparound of collected indices).
+    """
+    from ..utils import iou3d
+
+    enlarged = rois.at[:, 3:6].add(jnp.asarray(pool_extra_width, rois.dtype))
+    inside = iou3d.points_in_rotated_boxes(points, enlarged)   # (R, N)
+    inside = inside & points_valid[None, :]
+
+    rank = jnp.cumsum(inside.astype(jnp.int32), axis=-1) - 1
+    slot = jnp.where(inside & (rank < num_sampled), rank, num_sampled)
+    src = jnp.broadcast_to(jnp.arange(points.shape[0], dtype=jnp.int32)[None, :],
+                           slot.shape)
+    r = rois.shape[0]
+    idx = jnp.full((r, num_sampled + 1), -1, jnp.int32)
+    idx = _rowwise_scatter(idx, slot, src)[:, :num_sampled]
+
+    cnt = jnp.sum(inside.astype(jnp.int32), axis=-1)           # (R,)
+    empty = cnt == 0
+    # wraparound duplicate pad (reference get_pooled_idx)
+    ar = jnp.arange(num_sampled)[None, :]
+    wrap = jnp.take_along_axis(
+        jnp.maximum(idx, 0), ar % jnp.maximum(cnt, 1)[:, None], axis=1)
+    idx = jnp.where(idx >= 0, idx, wrap)
+    idx = jnp.maximum(idx, 0)
+
+    pooled = jnp.concatenate([points[idx], point_feats[idx]], axis=-1)
+    pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+    return pooled, empty
+
+
+def bilinear_interpolate_bev(im, x, y):
+    """im (H, W, C); x, y (N,) fractional pixel coords -> (N, C).
+
+    Exact clamp semantics of the reference bilinear_interpolate_torch
+    (bev_grid_pooling.py:10-42): corner indices clamped into the map, weights
+    from the *unclamped* fractional offsets.
+    """
+    h, w = im.shape[0], im.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    Ia = im[y0i, x0i]
+    Ib = im[y1i, x0i]
+    Ic = im[y0i, x1i]
+    Id = im[y1i, x1i]
+
+    x1f = x0 + 1.0
+    y1f = y0 + 1.0
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0)
+    wc = (x - x0) * (y1f - y)
+    wd = (x - x0) * (y - y0)
+    return (Ia * wa[:, None] + Ib * wb[:, None] + Ic * wc[:, None]
+            + Id * wd[:, None])
+
+
+def points_in_boxes_index(points, boxes, boxes_valid):
+    """First-containing-box index per point, -1 if none (device analogue of
+    roiaware points_in_boxes_gpu). points (N, 3), boxes (M, 7) center-based.
+    """
+    from ..utils import iou3d
+    inside = iou3d.points_in_rotated_boxes(points, boxes)      # (M, N)
+    inside = inside & boxes_valid[:, None]
+    m = boxes.shape[0]
+    box_ids = jnp.arange(m, dtype=jnp.int32)[:, None]
+    masked = jnp.where(inside, box_ids, m)
+    first = jnp.min(masked, axis=0)
+    return jnp.where(first < m, first, -1)
