@@ -40,6 +40,15 @@ class DatasetTemplate:
         self.max_gt_boxes = int(self.dataset_cfg.get('MAX_GT_BOXES', 50))
         self.total_epochs = 0
         self._merge_all_iters_to_one_epoch = False
+        # host rulebook construction (set via set_rulebook_spec from the
+        # model config; integer tables built in dataloader workers)
+        self.rulebook_spec = None
+
+    def set_rulebook_spec(self, backbone_name):
+        from ..ops.sparse import host_rulebook
+        cap = self.data_processor.max_voxels
+        self.rulebook_spec = host_rulebook.backbone_spec(
+            backbone_name, tuple(int(g) for g in self.grid_size), cap)
 
     @property
     def mode(self):
@@ -104,6 +113,18 @@ class DatasetTemplate:
             data_dict.pop('points', None)
 
         data_dict.pop('gt_names', None)
+
+        if self.rulebook_spec is not None:
+            from ..ops.sparse import host_rulebook
+            n = int(data_dict['voxel_valid'].sum())
+            shape1 = self.rulebook_spec['shapes']['x_conv1']
+            order = host_rulebook.sort_voxels_by_key(
+                data_dict['voxel_coords'][:n], shape1)
+            for key in ('voxels', 'voxel_coords', 'voxel_num_points'):
+                data_dict[key][:n] = data_dict[key][:n][order]
+            data_dict['_rb_sample'] = host_rulebook.build_sample_rulebooks(
+                data_dict['voxel_coords'], n, self.rulebook_spec)
+            data_dict['_rb_spec'] = self.rulebook_spec
         return data_dict
 
     @staticmethod
@@ -115,10 +136,16 @@ class DatasetTemplate:
         for cur_sample in batch_list:
             for key, val in cur_sample.items():
                 data_dict[key].append(val)
+        rb_samples = data_dict.pop('_rb_sample', None)
+        rb_spec = data_dict.pop('_rb_spec', None)
         batch = {}
         for key, val in data_dict.items():
             if key in ['frame_id', 'calib', 'image_shape', 'use_lead_xyz']:
                 batch[key] = np.stack(val) if isinstance(val[0], np.ndarray) else val
             else:
                 batch[key] = np.stack(val, axis=0)
+        if rb_samples is not None:
+            from ..ops.sparse import host_rulebook
+            batch['rulebooks'] = host_rulebook.collate_rulebooks(
+                rb_samples, rb_spec[0])
         return batch

@@ -175,12 +175,9 @@ class Detector3DTemplate(nn.Module):
         post = int(nms_cfg.NMS_POST_MAXSIZE)
         thresh = float(nms_cfg.NMS_THRESH)
 
-        def per_sample(args):
-            boxes, scores = args
-            return iou3d.nms_rotated(boxes, scores, thresh,
-                                     pre_max=pre, post_max=post)
-
-        keep_idx, keep_valid = jax.lax.map(per_sample, (box_preds, nms_scores))
+        keep_idx, keep_valid = jax.vmap(
+            lambda bx, sc: iou3d.nms_rotated(bx, sc, thresh, pre_max=pre,
+                                             post_max=post))(box_preds, nms_scores)
 
         final_boxes = jnp.take_along_axis(box_preds, keep_idx[..., None], axis=1)
         final_scores = jnp.take_along_axis(iouscore, keep_idx, axis=1)

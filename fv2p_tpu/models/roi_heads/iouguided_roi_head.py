@@ -33,14 +33,10 @@ def proposal_layer(batch_box_preds, batch_cls_preds, nms_cfg):
     roi_scores_all = jnp.max(batch_cls_preds, axis=-1)
     roi_labels_all = jnp.argmax(batch_cls_preds, axis=-1) + 1
 
-    def per_sample(args):
-        boxes, scores = args
-        keep_idx, keep_valid = iou3d.nms_rotated(
-            boxes, scores, thresh, pre_max=pre, post_max=post)
-        return keep_idx, keep_valid
-
-    keep_idx, keep_valid = jax.lax.map(
-        per_sample, (batch_box_preds, roi_scores_all))
+    keep_idx, keep_valid = jax.vmap(
+        lambda bx, sc: iou3d.nms_rotated(bx, sc, thresh, pre_max=pre,
+                                         post_max=post))(
+        batch_box_preds, roi_scores_all)
 
     rois = jnp.take_along_axis(batch_box_preds, keep_idx[..., None], axis=1)
     roi_scores = jnp.take_along_axis(roi_scores_all, keep_idx, axis=1)

@@ -1,0 +1,254 @@
+"""Host-side (numpy) rulebook construction for the sparse backbone.
+
+The rulebook is integer bookkeeping that depends only on voxel coordinates —
+exactly the kind of work the reference does natively per batch
+(``spconv_ops.h:28-141``). On TPU, sorts/scatters are the slowest primitives
+(~70 ms/scan when built on device), while numpy's C searchsorted/unique do
+the same job in a few ms inside a dataloader worker, fully overlapped with
+device compute. This module builds all tables for a backbone's topology per
+sample; ``collate_rulebooks`` merges per-sample tables into the batch layout
+(per-sample row blocks, one shared zero-pad row at the end).
+
+Row convention per level L with capacity C_L: sample b's voxels occupy rows
+[b*C_L, b*C_L + n_b); the global zero row is B*C_L (gather sentinel).
+"""
+import itertools
+
+import numpy as np
+
+INVALID = np.iinfo(np.int32).max
+
+
+def _as3(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+def backbone_spec(backbone_name, grid_size, voxel_capacity):
+    """Static conv topology of a backbone: list of level dicts.
+
+    grid_size: (nx, ny, nz) of the voxel grid (sparse z = nz + 1).
+    Capacities follow ``spconv_backbone.level_capacities`` (per-sample).
+    """
+    assert backbone_name in ('VoxelResBackBone8x', 'VoxelBackBone8x'), backbone_name
+    nx, ny, nz = grid_size
+    c = voxel_capacity
+    caps = {'x_conv1': c, 'x_conv2': c, 'x_conv3': c // 2, 'x_conv4': c // 4,
+            'out': c // 4}
+    shape1 = (nz + 1, ny, nx)
+    return {
+        'levels': ['x_conv1', 'x_conv2', 'x_conv3', 'x_conv4', 'out'],
+        'caps': caps,
+        'shapes': {'x_conv1': shape1},   # downstream shapes derived below
+        'downs': [
+            ('x_conv1', 'x_conv2', 3, 2, 1),
+            ('x_conv2', 'x_conv3', 3, 2, 1),
+            ('x_conv3', 'x_conv4', 3, 2, (0, 1, 1)),
+            ('x_conv4', 'out', (3, 1, 1), (2, 1, 1), 0),
+        ],
+        'subm_levels': ['x_conv1', 'x_conv2', 'x_conv3', 'x_conv4'],
+    }
+
+
+def _out_shape(shape, kernel, stride, padding):
+    kd, kh, kw = _as3(kernel)
+    sd, sh, sw = _as3(stride)
+    pd, ph, pw = _as3(padding)
+    d, h, w = shape
+    return ((d + 2 * pd - kd) // sd + 1, (h + 2 * ph - kh) // sh + 1,
+            (w + 2 * pw - kw) // sw + 1)
+
+
+def _encode(z, y, x, shape):
+    d, h, w = shape
+    return ((y.astype(np.int64) * w + x) * d + z)
+
+
+def _taps(kernel):
+    kd, kh, kw = _as3(kernel)
+    return np.array(list(itertools.product(range(kd), range(kh), range(kw))),
+                    dtype=np.int64)
+
+
+def _subm_table(coords, n_valid, shape, cap, kernel=3):
+    """coords: (n_valid, 3) int (z, y, x) sorted by key. -> (K, cap) int32
+    with sentinel == cap."""
+    d, h, w = shape
+    kd, kh, kw = _as3(kernel)
+    center = np.array([kd // 2, kh // 2, kw // 2], np.int64)
+    rel = _taps(kernel) - center                         # (K, 3)
+    k = rel.shape[0]
+    keys = _encode(coords[:, 0], coords[:, 1], coords[:, 2], shape)
+
+    z = coords[None, :, 0] + rel[:, 0:1]
+    y = coords[None, :, 1] + rel[:, 1:2]
+    x = coords[None, :, 2] + rel[:, 2:3]
+    ok = ((z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w))
+    q = _encode(z, y, x, shape)
+    pos = np.searchsorted(keys, q.ravel()).reshape(k, -1)
+    pos = np.clip(pos, 0, max(n_valid - 1, 0))
+    found = ok & (keys[pos] == q) if n_valid > 0 else np.zeros_like(ok)
+    table = np.where(found, pos, cap).astype(np.int32)
+    out = np.full((k, cap), cap, np.int32)
+    out[:, :n_valid] = table
+    return out
+
+
+def _down_tables(coords, n_valid, shape, kernel, stride, padding, out_cap):
+    """Returns (out_coords (m, 3), m, table (K, out_cap)) for a strided conv."""
+    kd, kh, kw = _as3(kernel)
+    sd, sh, sw = _as3(stride)
+    pd, ph, pw = _as3(padding)
+    d, h, w = shape
+    od, oh, ow = _out_shape(shape, kernel, stride, padding)
+    taps = _taps(kernel)
+
+    z_num = coords[None, :, 0] + pd - taps[:, 0:1]
+    y_num = coords[None, :, 1] + ph - taps[:, 1:2]
+    x_num = coords[None, :, 2] + pw - taps[:, 2:3]
+    oz, oy, ox = z_num // sd, y_num // sh, x_num // sw
+    ok = ((z_num % sd == 0) & (y_num % sh == 0) & (x_num % sw == 0)
+          & (oz >= 0) & (oz < od) & (oy >= 0) & (oy < oh)
+          & (ox >= 0) & (ox < ow))
+    cand = _encode(oz, oy, ox, (od, oh, ow))[ok]
+    out_keys = np.unique(cand)
+    m = min(len(out_keys), out_cap)
+    out_keys = out_keys[:m]
+
+    o_z = (out_keys % od).astype(np.int64)
+    col = out_keys // od
+    o_x = col % ow
+    o_y = col // ow
+    out_coords = np.stack([o_z, o_y, o_x], axis=1)
+
+    # gather table from the output side
+    in_keys = _encode(coords[:, 0], coords[:, 1], coords[:, 2], shape)
+    iz = out_coords[None, :, 0] * sd - pd + taps[:, 0:1]
+    iy = out_coords[None, :, 1] * sh - ph + taps[:, 1:2]
+    ix = out_coords[None, :, 2] * sw - pw + taps[:, 2:3]
+    okk = ((iz >= 0) & (iz < d) & (iy >= 0) & (iy < h)
+           & (ix >= 0) & (ix < w))
+    q = _encode(iz, iy, ix, shape)
+    pos = np.searchsorted(in_keys, q.ravel()).reshape(q.shape)
+    pos = np.clip(pos, 0, max(n_valid - 1, 0))
+    found = okk & (in_keys[pos] == q) if n_valid > 0 else np.zeros_like(okk)
+    cap_in = None  # filled by caller offsetting
+    table = np.where(found, pos, -1).astype(np.int32)  # -1 == sentinel marker
+    k = taps.shape[0]
+    out = np.full((k, out_cap), -1, np.int32)
+    out[:, :m] = table
+    return out_coords.astype(np.int32), m, out
+
+
+def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
+    """All backbone tables for ONE sample.
+
+    Args:
+        voxel_coords_zyx: (cap1, 3) int32, FIRST n_valid rows valid and the
+            sample's voxels must already be in z-last key order.
+        spec: from ``backbone_spec``.
+    Returns dict of numpy arrays (local row indices; -1 == missing neighbor):
+        subm_<lvl>: (27, cap_lvl); down_<src>-><dst>: (K, cap_dst);
+        coords_<lvl>: (cap_lvl, 3); nvalid_<lvl>: int.
+    """
+    caps = spec['caps']
+    shape = spec['shapes']['x_conv1']
+    out = {}
+    coords = voxel_coords_zyx[:n_valid].astype(np.int64)
+    out['coords_x_conv1'] = _pad_coords(voxel_coords_zyx, caps['x_conv1'])
+    out['nvalid_x_conv1'] = n_valid
+
+    level_coords = {'x_conv1': coords}
+    level_shape = {'x_conv1': shape}
+    level_nv = {'x_conv1': n_valid}
+
+    for lvl in spec['subm_levels']:
+        if lvl == 'x_conv1':
+            tab = _subm_table(coords, n_valid, shape, caps[lvl])
+            tab = np.where(tab == caps[lvl], -1, tab)
+            out[f'subm_{lvl}'] = tab
+
+    for src, dst, k, s, p in spec['downs']:
+        src_c = level_coords[src]
+        src_shape = level_shape[src]
+        oc, m, table = _down_tables(src_c, level_nv[src], src_shape, k, s, p,
+                                    caps[dst])
+        out[f'down_{src}->{dst}'] = table
+        dst_shape = _out_shape(src_shape, k, s, p)
+        level_coords[dst] = oc.astype(np.int64)
+        level_shape[dst] = dst_shape
+        level_nv[dst] = m
+        out[f'coords_{dst}'] = _pad_coords(oc, caps[dst])
+        out[f'nvalid_{dst}'] = m
+        if dst in spec['subm_levels']:
+            tab = _subm_table(oc.astype(np.int64), m, dst_shape, caps[dst])
+            tab = np.where(tab == caps[dst], -1, tab)
+            out[f'subm_{dst}'] = tab
+
+    out['shapes'] = {lvl: level_shape[lvl] for lvl in level_shape}
+    return out
+
+
+def _pad_coords(coords, cap):
+    out = np.zeros((cap, 3), np.int32)
+    n = min(len(coords), cap)
+    out[:n] = coords[:n]
+    return out
+
+
+def collate_rulebooks(samples, spec):
+    """Stack per-sample tables with the batch axis LEADING (data-parallel
+    shardable). Row indices stay sample-local with -1 == missing neighbor;
+    the backbone adds the per-sample block offset on device.
+    """
+    caps = spec['caps']
+    out = {}
+    for lvl in spec['subm_levels']:
+        out[f'subm_{lvl}'] = np.stack(
+            [s[f'subm_{lvl}'] for s in samples]).astype(np.int32)  # (B, K, cap)
+    for src, dst, k, s_, p in spec['downs']:
+        out[f'down_{src}->{dst}'] = np.stack(
+            [s[f'down_{src}->{dst}'] for s in samples]).astype(np.int32)
+    for lvl in spec['levels']:
+        out[f'coords_{lvl}'] = np.stack(
+            [s[f'coords_{lvl}'] for s in samples])            # (B, cap, 3)
+        out[f'valid_{lvl}'] = np.stack([
+            np.arange(caps[lvl]) < s[f'nvalid_{lvl}'] for s in samples])
+    return out
+
+
+def sort_voxels_by_key(voxel_coords_zyx, shape_zyx):
+    """Return the argsort that puts one sample's voxels in z-last key order."""
+    d, h, w = shape_zyx
+    keys = ((voxel_coords_zyx[:, 1].astype(np.int64) * w
+             + voxel_coords_zyx[:, 2]) * d + voxel_coords_zyx[:, 0])
+    return np.argsort(keys, kind='stable')
+
+
+def prepare_batch_rulebooks(batch_np, backbone_name, grid_size):
+    """Sort a numpy batch's voxels into key order and attach collated
+    rulebooks. Mutates and returns ``batch_np`` (numpy arrays, pre-device).
+
+    batch_np needs: voxel_coords (B, cap, 3) zyx, voxel_valid (B, cap),
+    voxels, voxel_num_points.
+    """
+    coords = batch_np['voxel_coords']
+    valid = batch_np['voxel_valid']
+    b, cap = coords.shape[:2]
+    nx, ny, nz = grid_size
+    shape1 = (nz + 1, ny, nx)
+    spec = backbone_spec(backbone_name, grid_size, cap)
+
+    samples = []
+    for i in range(b):
+        n = int(valid[i].sum())
+        order = sort_voxels_by_key(coords[i, :n], shape1)
+        for key in ('voxels', 'voxel_coords', 'voxel_num_points'):
+            arr = batch_np[key][i]
+            arr[:n] = arr[:n][order]
+        samples.append(build_sample_rulebooks(
+            batch_np['voxel_coords'][i], n, spec))
+    rb = collate_rulebooks(samples, spec)
+    batch_np['rulebooks'] = rb
+    return batch_np

@@ -6,21 +6,22 @@ TPU-native replacement for the reference CUDA indice-pair build
 Instead of (kernelVolume, 2, N) gather/scatter index pairs, we build an
 *output-gather* table ``nbr_idx`` of shape (K, N_out): for output voxel ``o``
 and kernel tap ``k``, ``nbr_idx[k, o]`` is the row of the contributing input
-voxel (or the sentinel ``N_in_cap``, which points at an implicit zero row).
-This turns the convolution into pure gather + batched matmul — no scatter-add
-on the forward path, which maps cleanly onto the TPU MXU.
+voxel (or the sentinel ``N_in_cap``, pointing at an implicit zero row). The
+convolution is then pure gather + batched matmul on the MXU.
 
-Lookups are vectorized binary searches over the sorted key array
-(``jnp.searchsorted``) — O(K * N * log N) integer work, all inside jit.
+Lookups use the SparseTensor's per-column z-occupancy bitmask index
+(``SparseTensor.lookup``): gathers + popcounts only — NO device sorts,
+searches, or ``unique`` anywhere (TPU sorts are slow; the first-generation
+searchsorted design spent ~60 ms/scan here).
 """
 import itertools
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse_tensor import INVALID_KEY, SparseTensor, decode_keys, encode_keys
+from .sparse_tensor import (INVALID_KEY, SparseTensor, decode_keys,
+                            from_occupancy_grid)
 
 
 def _as3(v):
@@ -36,71 +37,96 @@ def kernel_offsets(kernel_size):
                     dtype=np.int32)
 
 
-def _lookup(sorted_keys, query_keys, query_valid):
-    """Binary-search query keys in sorted_keys; return row idx or sentinel.
-
-    Returns int32 indices in [0, N_cap]; N_cap == not-found sentinel.
-    """
-    n_cap = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query_keys, method='sort')
-    pos = jnp.clip(pos, 0, n_cap - 1)
-    found = (sorted_keys[pos] == query_keys) & query_valid
-    return jnp.where(found, pos, n_cap).astype(jnp.int32)
-
-
 def subm_rulebook(st: SparseTensor, kernel_size=3):
     """Submanifold conv rulebook: output coords == input coords.
 
     For each voxel and each kernel tap, find the input voxel at
-    ``coord + tap - kernel//2`` (reference SubMConv3d semantics: padding
-    kernel//2, stride 1, identity at the center tap).
-
+    ``coord + tap - kernel//2`` (reference SubMConv3d semantics).
     Returns: nbr_idx (K, N_cap) int32.
     """
     offsets = kernel_offsets(kernel_size)
     kd, kh, kw = _as3(kernel_size)
     center = np.array([kd // 2, kh // 2, kw // 2], np.int32)
-    rel = offsets - center  # (K, 3) relative taps
+    rel = jnp.asarray(offsets - center)
     d, h, w = st.spatial_shape
 
-    coords = decode_keys(st.keys, st.spatial_shape)  # (N, 4)
+    coords = decode_keys(st.keys, st.spatial_shape)
     valid = st.valid_mask()
 
-    tables = []
-    for k in range(rel.shape[0]):
-        dz, dy, dx = int(rel[k, 0]), int(rel[k, 1]), int(rel[k, 2])
-        if dz == 0 and dy == 0 and dx == 0:
-            n_cap = st.capacity
-            idx = jnp.arange(n_cap, dtype=jnp.int32)
-            tables.append(jnp.where(valid, idx, n_cap))
-            continue
-        z = coords[:, 1] + dz
-        y = coords[:, 2] + dy
-        x = coords[:, 3] + dx
-        in_bounds = ((z >= 0) & (z < d) & (y >= 0) & (y < h)
-                     & (x >= 0) & (x < w) & valid)
-        q = encode_keys(
-            jnp.stack([coords[:, 0], z, y, x], axis=1), st.spatial_shape)
-        q = jnp.where(in_bounds, q, INVALID_KEY)
-        tables.append(_lookup(st.keys, q, in_bounds))
-    return jnp.stack(tables, axis=0)
+    z = coords[None, :, 1] + rel[:, 0:1]      # (K, N)
+    y = coords[None, :, 2] + rel[:, 1:2]
+    x = coords[None, :, 3] + rel[:, 2:3]
+    b = jnp.broadcast_to(coords[None, :, 0], z.shape)
+    ok = ((z >= 0) & (z < d) & (y >= 0) & (y < h)
+          & (x >= 0) & (x < w) & valid[None, :])
+    return st.lookup(b, z, y, x, ok)
+
+
+def _downsample_grid(st, kernel, stride, padding, out_shape):
+    """Active output cells of a strided conv, from input occupancy planes.
+
+    out(b, oz, oy, ox) active iff any input (b, oz*sd-pd+tz, oy*sh-ph+ty,
+    ox*sw-pw+tx) active. Computed with static bit extraction over z and
+    strided spatial slices over (y, x) — zero scatters.
+
+    Returns flat bool grid (B*OH*OW*OD,) in z-last raster order.
+    """
+    kd, kh, kw = kernel
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    d, h, w = st.spatial_shape
+    od, oh, ow = out_shape
+    b = st.batch_size
+
+    occ0 = st.occ0.reshape(b, h, w)
+    occ1 = st.occ1.reshape(b, h, w)
+
+    def in_bit(z):
+        if z < 32:
+            return ((occ0 >> np.uint32(z)) & jnp.uint32(1)).astype(bool)
+        return ((occ1 >> np.uint32(z - 32)) & jnp.uint32(1)).astype(bool)
+
+    # spatial padding once, shared by all taps
+    pr = max(0, (oh - 1) * sh - ph + (kh - 1) - (h - 1))
+    pc = max(0, (ow - 1) * sw - pw + (kw - 1) - (w - 1))
+
+    def spatial_or(zplane):
+        p = jnp.pad(zplane, ((0, 0), (ph, pr), (pw, pc)))
+        acc = None
+        for ty in range(kh):
+            for tx in range(kw):
+                sl = p[:, ty: ty + (oh - 1) * sh + 1: sh,
+                       tx: tx + (ow - 1) * sw + 1: sw]
+                acc = sl if acc is None else (acc | sl)
+        return acc                                   # (B, OH, OW)
+
+    out_bits = []
+    for oz in range(od):
+        zb = None
+        for t in range(kd):
+            z = oz * sd - pd + t
+            if 0 <= z < d:
+                zb = in_bit(z) if zb is None else (zb | in_bit(z))
+        if zb is None:
+            out_bits.append(jnp.zeros((b, oh, ow), bool))
+        else:
+            out_bits.append(spatial_or(zb))
+
+    grid = jnp.stack(out_bits, axis=-1)              # (B, OH, OW, OD)
+    return grid.reshape(-1)
 
 
 def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
                         out_capacity):
     """Strided (regular) sparse conv rulebook + output voxel set.
 
-    Conv semantics (reference SparseConv3d / getIndicePair,
-    ``spconv_ops.h:28-141``): out spatial size = (in + 2p - k) // s + 1;
-    output voxel ``o`` gathers input ``o*s - p + tap`` for tap in [0, k).
+    Conv semantics (reference SparseConv3d / getIndicePair):
+    out size = (in + 2p - k) // s + 1; output ``o`` gathers input
+    ``o*s - p + tap``. The active output set is computed by OR-scattering
+    all per-input candidate cells into a dense bool grid of the (smaller)
+    output level and ranking active cells with a cumsum — no sort/unique.
 
-    The active output set is the union over inputs of their reachable output
-    cells, computed as K*N candidates -> ``jnp.unique(size=out_capacity)``.
-
-    Returns:
-        out_st: SparseTensor with zero features (C=0 placeholder) holding the
-            output keys/coords — features filled by the conv apply.
-        nbr_idx: (K, out_capacity) int32 gather table into input rows.
+    Returns (out_st with empty features, nbr_idx (K, out_capacity)).
     """
     kd, kh, kw = _as3(kernel_size)
     sd, sh, sw = _as3(stride)
@@ -111,47 +137,25 @@ def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
     ow = (w + 2 * pw - kw) // sw + 1
     out_shape = (od, oh, ow)
 
-    offsets = kernel_offsets(kernel_size)
+    offsets = jnp.asarray(kernel_offsets(kernel_size))
     coords = decode_keys(st.keys, st.spatial_shape)
     valid = st.valid_mask()
 
-    # 1) candidate output cells from the input side
-    cand = []
-    for k in range(offsets.shape[0]):
-        dz, dy, dx = int(offsets[k, 0]), int(offsets[k, 1]), int(offsets[k, 2])
-        z_num = coords[:, 1] + pd - dz
-        y_num = coords[:, 2] + ph - dy
-        x_num = coords[:, 3] + pw - dx
-        oz, oy, ox = z_num // sd, y_num // sh, x_num // sw
-        ok = ((z_num % sd == 0) & (y_num % sh == 0) & (x_num % sw == 0)
-              & (oz >= 0) & (oz < od) & (oy >= 0) & (oy < oh)
-              & (ox >= 0) & (ox < ow) & valid)
-        q = encode_keys(jnp.stack([coords[:, 0], oz, oy, ox], 1), out_shape)
-        cand.append(jnp.where(ok, q, INVALID_KEY))
-    cand = jnp.concatenate(cand)
+    # 1) active output set from the INPUT occupancy planes, pure bit math:
+    # no scatter (TPU scatters with colliding indices serialize).
+    grid = _downsample_grid(st, (kd, kh, kw), (sd, sh, sw), (pd, ph, pw),
+                            out_shape)
+    out_st = from_occupancy_grid(grid, out_capacity, out_shape,
+                                 st.batch_size, st.features.dtype)
 
-    out_keys = jnp.unique(cand, size=out_capacity, fill_value=INVALID_KEY)
-    out_valid = out_keys != INVALID_KEY
-    n_out = jnp.sum(out_valid.astype(jnp.int32))
-
-    # 2) output-side gather table
-    out_coords = decode_keys(out_keys, out_shape)
-    tables = []
-    for k in range(offsets.shape[0]):
-        dz, dy, dx = int(offsets[k, 0]), int(offsets[k, 1]), int(offsets[k, 2])
-        z = out_coords[:, 1] * sd - pd + dz
-        y = out_coords[:, 2] * sh - ph + dy
-        x = out_coords[:, 3] * sw - pw + dx
-        in_bounds = ((z >= 0) & (z < d) & (y >= 0) & (y < h)
-                     & (x >= 0) & (x < w) & out_valid)
-        q = encode_keys(
-            jnp.stack([out_coords[:, 0], z, y, x], 1), st.spatial_shape)
-        q = jnp.where(in_bounds, q, INVALID_KEY)
-        tables.append(_lookup(st.keys, q, in_bounds))
-    nbr_idx = jnp.stack(tables, axis=0)
-
-    out_st = SparseTensor(
-        features=jnp.zeros((out_capacity, 0), st.features.dtype),
-        keys=out_keys, nvalid=n_out, spatial_shape=out_shape,
-        batch_size=st.batch_size)
+    # 2) output-side gather table, resolved on the input's column index
+    out_coords = decode_keys(out_st.keys, out_shape)
+    out_valid = out_st.valid_mask()
+    iz = out_coords[None, :, 1] * sd - pd + offsets[:, 0:1]
+    iy = out_coords[None, :, 2] * sh - ph + offsets[:, 1:2]
+    ix = out_coords[None, :, 3] * sw - pw + offsets[:, 2:3]
+    ib = jnp.broadcast_to(out_coords[None, :, 0], iz.shape)
+    in_bounds = ((iz >= 0) & (iz < d) & (iy >= 0) & (iy < h)
+                 & (ix >= 0) & (ix < w) & out_valid[None, :])
+    nbr_idx = st.lookup(ib, iz, iy, ix, in_bounds)
     return out_st, nbr_idx

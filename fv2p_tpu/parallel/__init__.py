@@ -24,8 +24,9 @@ def make_mesh(devices=None):
 
 
 def batch_spec(batch):
-    """PartitionSpec pytree: shard every batch array along its sample axis."""
-    return {k: P(DATA_AXIS) for k in batch}
+    """PartitionSpec pytree: shard every batch array along its sample axis
+    (all batch leaves, including nested rulebook tables, are B-leading)."""
+    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
 
 
 def replicate_spec(tree):
@@ -34,10 +35,8 @@ def replicate_spec(tree):
 
 def shard_batch(mesh, batch):
     """Device-put a host batch with samples sharded across the mesh."""
-    out = {}
-    for k, v in batch.items():
-        out[k] = jax.device_put(v, NamedSharding(mesh, P(DATA_AXIS)))
-    return out
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(lambda v: jax.device_put(v, sharding), batch)
 
 
 def make_dp_train_step(model, mesh):
@@ -56,7 +55,7 @@ def make_dp_train_step(model, mesh):
         sharded = shard_map(
             per_device_step, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: P(), state),
-                      {k: P(DATA_AXIS) for k in batch}),
+                      batch_spec(batch)),
             out_specs=(jax.tree_util.tree_map(lambda _: P(), state), P()),
             check_vma=False)
         return sharded(state, batch)
@@ -74,7 +73,7 @@ def make_dp_eval_step(model, mesh):
         sharded = shard_map(
             per_device, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: P(), variables),
-                      {k: P(DATA_AXIS) for k in batch}),
+                      batch_spec(batch)),
             out_specs=P(DATA_AXIS),
             check_vma=False)
         return sharded(variables, batch)

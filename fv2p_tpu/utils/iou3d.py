@@ -26,78 +26,87 @@ def _polygon_clip_area(poly_a, poly_b):
         poly_b: (..., 4, 2) clip polygon vertices, CCW order.
     Returns:
         (...,) intersection area.
+
+    TPU layout note: all working buffers are shaped (V, P) — the small vertex
+    axis in sublanes, the flattened pair axis in lanes — and the per-pair
+    vertex gathers/scatters are expressed as select-sums over the static V
+    axis. A (..., V, 2)-shaped formulation gets ~64x memory inflation from
+    the (8, 128) tile padding of its tiny trailing dims and OOMs at scale.
     """
     batch_shape = poly_a.shape[:-2]
-    # working buffer of vertices + count
-    verts = jnp.concatenate(
-        [poly_a, jnp.zeros(batch_shape + (_MAX_VERTS - 4, 2), poly_a.dtype)], axis=-2)
-    count = jnp.full(batch_shape, 4, dtype=jnp.int32)
+    p = int(np.prod(batch_shape)) if batch_shape else 1
+    v = _MAX_VERTS
+
+    ax = poly_a[..., 0].reshape(p, 4).T          # (4, P)
+    ay = poly_a[..., 1].reshape(p, 4).T
+    bx = poly_b[..., 0].reshape(p, 4).T
+    by = poly_b[..., 1].reshape(p, 4).T
+
+    zeros4 = jnp.zeros((v - 4, p), poly_a.dtype)
+    vx = jnp.concatenate([ax, zeros4], axis=0)    # (V, P)
+    vy = jnp.concatenate([ay, zeros4], axis=0)
+    count = jnp.full((p,), 4, jnp.int32)
+
+    def select_rows(arr, row_idx):
+        """arr (V, P), row_idx (V, P) in [0, V) -> arr[row_idx[i, p], p]."""
+        out = jnp.zeros_like(arr)
+        for k in range(v):
+            out = out + jnp.where(row_idx == k, arr[k][None, :], 0.0)
+        return out
+
+    iota_v = jnp.arange(v)[:, None]               # (V, 1)
 
     for e in range(4):
-        p1 = poly_b[..., e, :]
-        p2 = poly_b[..., (e + 1) % 4, :]
-        edge = p2 - p1  # (..., 2)
+        p1x, p1y = bx[e], by[e]                   # (P,)
+        p2x, p2y = bx[(e + 1) % 4], by[(e + 1) % 4]
+        ex, ey = p2x - p1x, p2y - p1y
 
-        # signed distance of each vertex to the clip edge (>=0 == inside for CCW)
-        rel = verts - p1[..., None, :]  # (..., V, 2)
-        side = edge[..., None, 0] * rel[..., 1] - edge[..., None, 1] * rel[..., 0]
-        inside = side >= 0  # (..., V)
+        side = ex[None, :] * (vy - p1y[None, :]) - ey[None, :] * (vx - p1x[None, :])
+        inside = side >= 0                        # (V, P)
 
-        idx = jnp.arange(_MAX_VERTS)
-        nxt_idx = jnp.where(idx + 1 < count[..., None], idx + 1, 0)  # wraparound at count
-        nxt_verts = jnp.take_along_axis(verts, nxt_idx[..., None], axis=-2)
-        nxt_side = jnp.take_along_axis(side, nxt_idx, axis=-1)
+        nxt_idx = jnp.where(iota_v + 1 < count[None, :], iota_v + 1, 0)
+        nxt_x = select_rows(vx, nxt_idx)
+        nxt_y = select_rows(vy, nxt_idx)
+        nxt_side = ex[None, :] * (nxt_y - p1y[None, :]) - ey[None, :] * (nxt_x - p1x[None, :])
         nxt_inside = nxt_side >= 0
 
-        valid_slot = idx < count[..., None]
+        valid_slot = iota_v < count[None, :]
 
-        # intersection point of segment (v, nxt) with the clip line
         denom = side - nxt_side
         t = side / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
-        inter_pt = verts + t[..., None] * (nxt_verts - verts)
+        ix = vx + t * (nxt_x - vx)
+        iy = vy + t * (nxt_y - vy)
 
-        # candidate emission: [cur if inside] then [inter if crossing], per slot
         emit_cur = inside & valid_slot
         emit_int = (inside != nxt_inside) & valid_slot
 
-        # interleave candidates: slot i -> candidates 2i (cur), 2i+1 (inter)
-        cand = jnp.stack([verts, inter_pt], axis=-2)  # (..., V, 2, 2)
-        cand = cand.reshape(batch_shape + (2 * _MAX_VERTS, 2))
-        cand_valid = jnp.stack([emit_cur, emit_int], axis=-1)
-        cand_valid = cand_valid.reshape(batch_shape + (2 * _MAX_VERTS,))
+        # interleave: candidate 2i = cur vertex i, 2i+1 = intersection i
+        cand_x = jnp.stack([vx, ix], axis=1).reshape(2 * v, p)
+        cand_y = jnp.stack([vy, iy], axis=1).reshape(2 * v, p)
+        cand_valid = jnp.stack([emit_cur, emit_int], axis=1).reshape(2 * v, p)
 
-        # compact: stable position by prefix count of valid candidates
-        pos = jnp.cumsum(cand_valid.astype(jnp.int32), axis=-1) - 1
-        scatter_idx = jnp.where(cand_valid, pos, _MAX_VERTS)  # overflow slot dropped
+        pos = jnp.cumsum(cand_valid.astype(jnp.int32), axis=0) - 1
+        slot = jnp.where(cand_valid, pos, v)      # v == dropped
 
-        new_verts = jnp.zeros(batch_shape + (_MAX_VERTS, 2), poly_a.dtype)
-        if batch_shape:
-            new_verts = _batched_scatter(new_verts, scatter_idx, cand)
-        else:
-            new_verts = new_verts.at[scatter_idx].set(cand, mode='drop')
-        verts = new_verts
-        count = jnp.minimum(pos[..., -1] + 1, _MAX_VERTS)
+        # compact via per-row masked sums (each (k, p) has at most one source c)
+        new_rows_x = []
+        new_rows_y = []
+        for k in range(v):
+            m = slot == k                          # (2V, P)
+            new_rows_x.append(jnp.sum(jnp.where(m, cand_x, 0.0), axis=0))
+            new_rows_y.append(jnp.sum(jnp.where(m, cand_y, 0.0), axis=0))
+        vx = jnp.stack(new_rows_x, axis=0)
+        vy = jnp.stack(new_rows_y, axis=0)
+        count = jnp.minimum(pos[-1] + 1, v)
 
-    # shoelace area over the first `count` vertices
-    idx = jnp.arange(_MAX_VERTS)
-    nxt_idx = jnp.where(idx + 1 < count[..., None], idx + 1, 0)
-    nxt_verts = jnp.take_along_axis(verts, nxt_idx[..., None], axis=-2)
-    cross = verts[..., 0] * nxt_verts[..., 1] - verts[..., 1] * nxt_verts[..., 0]
-    cross = jnp.where(idx < count[..., None], cross, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
-    return jnp.where(count >= 3, area, 0.0)
-
-
-def _batched_scatter(target, idx, updates):
-    """target (..., V, 2), idx (..., 2V), updates (..., 2V, 2): scatter rows
-    of `updates` to positions `idx` along axis -2 (idx == V drops)."""
-    flat_b = int(np.prod(target.shape[:-2]))
-    t = target.reshape(flat_b, target.shape[-2], 2)
-    i = idx.reshape(flat_b, idx.shape[-1])
-    u = updates.reshape(flat_b, updates.shape[-2], 2)
-    b = jnp.arange(flat_b)[:, None]
-    t = t.at[b, i].set(u, mode='drop')
-    return t.reshape(target.shape)
+    nxt_idx = jnp.where(iota_v + 1 < count[None, :], iota_v + 1, 0)
+    nxt_x = select_rows(vx, nxt_idx)
+    nxt_y = select_rows(vy, nxt_idx)
+    cross = vx * nxt_y - vy * nxt_x
+    cross = jnp.where(iota_v < count[None, :], cross, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=0))
+    area = jnp.where(count >= 3, area, 0.0)
+    return area.reshape(batch_shape) if batch_shape else area[0]
 
 
 def _bev_corners_ccw(boxes):
@@ -147,30 +156,59 @@ def boxes_iou3d(boxes_a, boxes_b):
 
 
 def _overlap_matrix_tiled(boxes, thresh, row_tile=256):
-    """(N, N) bool matrix iou_bev(i, j) > thresh computed in row tiles to
-    bound peak memory of the clipping buffers."""
+    """(N, N) bool matrix iou_bev(i, j) > thresh via the Pallas clip kernel
+    on TPU (VMEM-resident clipping; the XLA formulation is ~25x slower);
+    XLA fallback off-TPU (interpret-mode Pallas would be far slower)."""
     n = boxes.shape[0]
     corners = _bev_corners_ccw(boxes)
     area = boxes[:, 3] * boxes[:, 4]
-    n_tiles = max(1, (n + row_tile - 1) // row_tile)
-    pad = n_tiles * row_tile - n
-    corners_p = jnp.pad(corners, ((0, pad), (0, 0), (0, 0)))
-    area_p = jnp.pad(area, (0, pad))
+    if jax.default_backend() in ('tpu', 'axon'):
+        from ..ops.pallas import rotated_iou
+        ov = rotated_iou.overlap_matrix(corners, corners)
+    else:
+        n_tiles = max(1, (n + row_tile - 1) // row_tile)
+        pad = n_tiles * row_tile - n
+        corners_p = jnp.pad(corners, ((0, pad), (0, 0), (0, 0)))
 
-    def one_tile(tile_corners, tile_area):
-        t = tile_corners.shape[0]
-        pa = jnp.broadcast_to(tile_corners[:, None], (t, n, 4, 2))
-        pb = jnp.broadcast_to(corners[None, :], (t, n, 4, 2))
-        ov = _polygon_clip_area(pa, pb)
-        iou = ov / jnp.clip(tile_area[:, None] + area[None, :] - ov, min=1e-6)
-        return iou > thresh
+        def one_tile(tile_corners):
+            t = tile_corners.shape[0]
+            pa = jnp.broadcast_to(tile_corners[:, None], (t, n, 4, 2))
+            pb = jnp.broadcast_to(corners[None, :], (t, n, 4, 2))
+            return _polygon_clip_area(pa, pb)
 
-    rows = jax.lax.map(
-        lambda args: one_tile(*args),
-        (corners_p.reshape(n_tiles, row_tile, 4, 2),
-         area_p.reshape(n_tiles, row_tile)),
-    )
-    return rows.reshape(n_tiles * row_tile, n)[:n]
+        rows = jax.lax.map(one_tile, corners_p.reshape(n_tiles, row_tile, 4, 2))
+        ov = rows.reshape(n_tiles * row_tile, n)[:n]
+    iou = ov / jnp.clip(area[:, None] + area[None, :] - ov, min=1e-6)
+    return iou > thresh
+
+
+def _greedy_by_fixed_point(overlap, valid):
+    """Exact greedy suppression as a fixed-point iteration.
+
+    keep_i = valid_i and no kept j < i overlaps i. Iterating this map from
+    all-valid converges to the greedy solution (box 0 is immediately stable;
+    once boxes < i are stable, box i stabilizes one iteration later), usually
+    within ~chain-depth iterations. Each iteration is one (N,)x(N,N) matvec
+    on the MXU — replacing N sequential mask updates.
+    """
+    n = overlap.shape[0]
+    idx = jnp.arange(n)
+    # ov_lower[j, i] = True when j < i may suppress i
+    ov_lower = (overlap & (idx[:, None] < idx[None, :])).astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        sup = jnp.matmul(keep.astype(jnp.float32), ov_lower,
+                         preferred_element_type=jnp.float32) > 0
+        return valid & ~sup, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), 0))
+    return keep
 
 
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'row_tile'))
@@ -191,14 +229,7 @@ def nms_rotated(boxes, scores, thresh, pre_max=4096, post_max=500, row_tile=256)
 
     overlap = _overlap_matrix_tiled(boxes_s, thresh, row_tile=row_tile)
     overlap = overlap & valid[None, :] & valid[:, None]
-
-    idx = jnp.arange(n)
-
-    def body(i, keep):
-        sup = keep[i] & overlap[i] & (idx > i)
-        return keep & ~sup
-
-    keep = jax.lax.fori_loop(0, n, body, valid)
+    keep = _greedy_by_fixed_point(overlap, valid)
 
     # stable-compact kept indices (already score-ordered) to post_max entries
     kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1

@@ -131,3 +131,38 @@ class TestPointsInBoxes:
         ], np.float32))
         mask = np.asarray(iou3d.points_in_rotated_boxes(pts, box))[0]
         assert mask.tolist() == [True, True, False, True, False]
+
+
+class TestFixedPointEquivalence:
+    def test_matches_sequential_greedy(self):
+        """Fixed-point suppression must equal the naive sequential greedy."""
+        rng = np.random.RandomState(42)
+        for trial in range(5):
+            n = 64
+            boxes = np.zeros((n, 7), np.float32)
+            boxes[:, :2] = rng.uniform(0, 20, (n, 2))
+            boxes[:, 2] = rng.uniform(-1, 1, n)
+            boxes[:, 3:6] = rng.uniform(1.5, 5, (n, 3))
+            boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+            scores = rng.rand(n).astype(np.float32)
+            thresh = 0.2
+
+            keep_idx, keep_valid = iou3d.nms_rotated(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh,
+                pre_max=n, post_max=n)
+            got = np.asarray(keep_idx)[np.asarray(keep_valid)].tolist()
+
+            # naive reference: sort by score, sequential greedy
+            order = np.argsort(-scores, kind='stable')
+            ious = np.asarray(iou3d.boxes_iou_bev(
+                jnp.asarray(boxes[order]), jnp.asarray(boxes[order])))
+            alive = np.ones(n, bool)
+            expect = []
+            for i in range(n):
+                if not alive[i]:
+                    continue
+                expect.append(int(order[i]))
+                for j in range(i + 1, n):
+                    if alive[j] and ious[i, j] > thresh:
+                        alive[j] = False
+            assert got == expect, (trial, got, expect)

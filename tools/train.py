@@ -1,0 +1,159 @@
+"""Training entry point (reference ``tools/train.py``): yaml config + argparse
+surface, auto-resume from the newest checkpoint, epoch loop with per-iter LR
+schedule, checkpoint rotation — re-expressed over the jitted JAX train step
+and a data-parallel device mesh."""
+import argparse
+import datetime
+import glob
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--cfg_file', type=str, default=None,
+                        help='specify the config for training')
+    parser.add_argument('--batch_size', type=int, default=None, required=False,
+                        help='batch size for training')
+    parser.add_argument('--epochs', type=int, default=None, required=False)
+    parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--pretrained_model', type=str, default=None)
+    parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
+                        help='set extra config keys if needed')
+    parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--fix_random_seed', action='store_true', default=False)
+    parser.add_argument('--num_devices', type=int, default=None,
+                        help='data-parallel devices (default: all)')
+    args = parser.parse_args()
+
+    from fv2p_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = '/'.join(args.cfg_file.split('/')[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from fv2p_tpu.config import log_config_to_file
+    from fv2p_tpu.datasets import dataset_meta_from_cfg
+    from fv2p_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from fv2p_tpu.models import build_network
+    from fv2p_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
+    from fv2p_tpu.train_utils.optimization import build_optimizer
+    from fv2p_tpu.train_utils.train_state import create_train_state, make_train_step
+    from fv2p_tpu.utils import common_utils
+
+    if args.fix_random_seed:
+        common_utils.set_random_seed(666)
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = REPO / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = output_dir / 'ckpt'
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / ('log_train_%s.txt'
+                             % datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
+    logger = common_utils.create_logger(log_file)
+    logger.info('**********************Start logging**********************')
+    log_config_to_file(cfg, logger=logger)
+
+    # ---- data
+    train_set = KittiDataset(
+        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+        root_path=REPO / 'data' / 'kitti', training=True, logger=logger)
+    if cfg.MODEL.get('BACKBONE_3D') is not None:
+        train_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
+    import torch.utils.data as torch_data
+    loader = torch_data.DataLoader(
+        train_set, batch_size=batch_size, num_workers=args.workers,
+        shuffle=True, collate_fn=train_set.collate_batch, drop_last=True,
+        pin_memory=False)
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * epochs
+
+    # ---- model
+    meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, 'train')
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          class_names=cfg.CLASS_NAMES, dataset_meta=meta,
+                          compute_dtype=jnp.bfloat16)
+
+    def to_jnp(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = jnp.asarray(v)
+            elif isinstance(v, dict):
+                out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        return out
+
+    example = to_jnp(next(iter(loader)))
+    rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
+            'dropout': jax.random.PRNGKey(2)}
+    init_fn = jax.jit(lambda r, b: model.init(r, b, train=True))
+    variables = init_fn(rngs, example)
+    logger.info('model initialized: %d params' % sum(
+        np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables['params'])))
+
+    tx = build_optimizer(cfg.OPTIMIZATION, total_steps)
+    state = create_train_state(model, variables, tx)
+
+    # ---- resume (reference train.py:144-162 auto-resume)
+    mgr = ocp.CheckpointManager(
+        ckpt_dir.resolve(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=args.max_ckpt_save_num))
+    start_epoch = 0
+    if mgr.latest_step() is not None:
+        state = mgr.restore(mgr.latest_step(), args=ocp.args.StandardRestore(state))
+        start_epoch = int(mgr.latest_step())
+        logger.info(f'auto-resumed from epoch {start_epoch}')
+
+    # ---- train step (DP when multiple devices)
+    devices = jax.devices()[:args.num_devices] if args.num_devices else jax.devices()
+    if len(devices) > 1:
+        mesh = make_mesh(devices)
+        step_fn = make_dp_train_step(model, mesh)
+        prep = lambda b: shard_batch(mesh, b)
+    else:
+        step_fn = jax.jit(make_train_step(model))
+        prep = lambda b: b
+
+    logger.info(f'start training: {epochs} epochs x {steps_per_epoch} steps, '
+                f'{len(devices)} device(s)')
+    metrics_file = open(output_dir / 'metrics.jsonl', 'a')
+    it = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, epochs):
+        for batch_np in loader:
+            batch = prep(to_jnp(batch_np))
+            state, metrics = step_fn(state, batch)
+            it += 1
+            if it % 50 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(epoch=epoch, it=it)
+                logger.info('epoch %d it %d loss %.4f grad_norm %.2f'
+                            % (epoch, it, m['loss'], m['grad_norm']))
+                metrics_file.write(json.dumps(m) + '\n')
+                metrics_file.flush()
+        mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
+        logger.info(f'saved checkpoint epoch {epoch + 1}')
+    mgr.wait_until_finished()
+    logger.info('**********************End training**********************')
+
+
+if __name__ == '__main__':
+    main()
