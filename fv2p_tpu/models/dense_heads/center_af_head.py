@@ -92,14 +92,28 @@ class CenterAFHeadSingle(nn.Module):
         att = x + jax.nn.sigmoid(jax.lax.stop_gradient(segm_pred)) * x
         batch_dict['spatial_features_before_head'] = att
 
-        for name, h in head_cfgs.items():
-            if name == 'segm':
-                continue
+        # all non-segm heads fused into ONE wide 3x3 conv + per-head slices:
+        # mathematically identical to per-head convs (BN is per-channel),
+        # but a single large matmul uses the MXU far better than 6 small ones.
+        other = [(n, h) for n, h in head_cfgs.items() if n != 'segm']
+        widths = [int(h['head_conv']) for _, h in other]
+        mid = nn.Conv(sum(widths), (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=dt, name='heads_fused_conv')(att)
+        mid = nn.BatchNorm(use_running_average=not train, **_BN,
+                           name='heads_fused_bn')(mid)
+        mid = nn.relu(mid)
+        offset = 0
+        for (name, h), width in zip(other, widths):
             out_ch = self.num_class if name == 'hm' else h['out_channel']
             init_bias = -2.19 if name == 'hm' else 0.0
-            ret[f'{name}_pred'] = _FCHead(
-                h['head_conv'], out_ch, h['final_kernel'], init_bias,
-                self.compute_dtype, name=name)(att, train=train)
+            fk = int(h['final_kernel'])
+            pad = (fk - 1) // 2
+            sl = mid[..., offset:offset + width]
+            ret[f'{name}_pred'] = nn.Conv(
+                out_ch, (fk, fk), padding=((pad, pad), (pad, pad)),
+                bias_init=nn.initializers.constant(init_bias), dtype=dt,
+                name=f'{name}_out')(sl).astype(jnp.float32)
+            offset += width
 
         if train:
             targets = self._assigner().assign_targets(batch_dict['gt_boxes'])
