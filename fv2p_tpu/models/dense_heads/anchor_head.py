@@ -20,11 +20,12 @@ _BN = dict(momentum=0.99, epsilon=1e-3)
 def generate_anchors(anchor_generator_cfg, grid_size, point_cloud_range):
     """Static numpy anchors: (ny, nx, A, 7) with A = num_cls * num_rot
     (reference anchor_generator.py:17-62, align_center=False path)."""
-    nx, ny = grid_size[0] // 8, grid_size[1] // 8  # feature_map_stride 8
     pr = point_cloud_range
     per_class = []
     for cfg in anchor_generator_cfg:
-        fm_nx, fm_ny = nx, ny
+        stride = int(cfg.get('feature_map_stride', 8)) if hasattr(cfg, 'get') \
+            else int(cfg['feature_map_stride'])
+        fm_nx, fm_ny = grid_size[0] // stride, grid_size[1] // stride
         x_stride = (pr[3] - pr[0]) / (fm_nx - 1)
         y_stride = (pr[4] - pr[1]) / (fm_ny - 1)
         xs = pr[0] + np.arange(fm_nx) * x_stride

@@ -15,9 +15,11 @@ from ...config import StaticConfig
 from ...utils import iou3d
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone, DCNBEVBackbone
 from ..backbones_2d.map_to_bev.height_compression import HeightCompression
+from ..backbones_2d.map_to_bev.pointpillar_scatter import PointPillarScatter
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from ..backbones_3d.pfe.residual_v2p_decoder import ResidualVoxelToPointDecoder
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
+from ..backbones_3d.vfe.pillar_vfe import PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, generate_anchors
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
 from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
@@ -27,10 +29,11 @@ MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
                    'backbone_2d', 'dense_head', 'post_pfe', 'point_head',
                    'roi_head']
 
-VFE_REGISTRY = {'MeanVFE': MeanVFE}
+VFE_REGISTRY = {'MeanVFE': MeanVFE, 'PillarVFE': PillarVFE}
 BACKBONE_3D_REGISTRY = {'VoxelResBackBone8x': VoxelResBackBone8x,
                         'VoxelBackBone8x': VoxelBackBone8x}
-MAP_TO_BEV_REGISTRY = {'HeightCompression': HeightCompression}
+MAP_TO_BEV_REGISTRY = {'HeightCompression': HeightCompression,
+                       'PointPillarScatter': PointPillarScatter}
 BACKBONE_2D_REGISTRY = {'BaseBEVBackbone': BaseBEVBackbone,
                         'DCNBEVBackbone': DCNBEVBackbone}
 DENSE_HEAD_REGISTRY = {'CenterAFHeadSingle': CenterAFHeadSingle,
@@ -49,10 +52,14 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('VFE')
         if cfg is None:
             return None
+        kw = {}
+        if cfg.NAME == 'PillarVFE':
+            kw = dict(voxel_size=tuple(self.dataset_meta['voxel_size']),
+                      point_cloud_range=tuple(self.dataset_meta['point_cloud_range']))
         return VFE_REGISTRY[cfg.NAME](
             model_cfg=StaticConfig(cfg),
             num_point_features=self.dataset_meta['num_point_features'],
-            name='vfe')
+            name='vfe', **kw)
 
     def _build_backbone_3d(self):
         cfg = self.model_cfg.get('BACKBONE_3D')
@@ -69,7 +76,11 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('MAP_TO_BEV')
         if cfg is None:
             return None
-        return MAP_TO_BEV_REGISTRY[cfg.NAME](model_cfg=StaticConfig(cfg), name='map_to_bev')
+        kw = {}
+        if cfg.NAME == 'PointPillarScatter':
+            kw = dict(grid_size=tuple(self.dataset_meta['grid_size']))
+        return MAP_TO_BEV_REGISTRY[cfg.NAME](model_cfg=StaticConfig(cfg),
+                                             name='map_to_bev', **kw)
 
     def _build_backbone_2d(self):
         cfg = self.model_cfg.get('BACKBONE_2D')
@@ -150,6 +161,40 @@ class Detector3DTemplate(nn.Module):
 
     # -- post-processing ---------------------------------------------------
 
+    def post_processing(self, batch_dict):
+        """Standard cls-score NMS (reference detector3d_template.py:210-316,
+        class_agnostic path). Fixed-shape (B, post_max) outputs."""
+        pp = self.model_cfg.POST_PROCESSING
+        nms_cfg = pp.NMS_CONFIG
+        box_preds = batch_dict['batch_box_preds']
+        cls_preds = batch_dict['batch_cls_preds']
+        if not batch_dict.get('cls_preds_normalized', False):
+            cls_probs = jax.nn.sigmoid(cls_preds)
+        else:
+            cls_probs = cls_preds
+        scores = jnp.max(cls_probs, axis=-1)
+        labels = jnp.argmax(cls_probs, axis=-1) + 1
+
+        score_thresh = float(pp.SCORE_THRESH)
+        nms_scores = jnp.where(scores >= score_thresh, scores, -jnp.inf)
+        pre = int(min(nms_cfg.NMS_PRE_MAXSIZE, box_preds.shape[1]))
+        post = int(nms_cfg.NMS_POST_MAXSIZE)
+        thresh = float(nms_cfg.NMS_THRESH)
+
+        keep_idx, keep_valid = jax.vmap(
+            lambda bx, sc: iou3d.nms_rotated(bx, sc, thresh, pre_max=pre,
+                                             post_max=post))(box_preds, nms_scores)
+        final_boxes = jnp.take_along_axis(box_preds, keep_idx[..., None], axis=1)
+        final_scores = jnp.take_along_axis(scores, keep_idx, axis=1)
+        final_labels = jnp.take_along_axis(labels, keep_idx, axis=1)
+        final_scores = jnp.where(keep_valid, final_scores, 0.0)
+        return {
+            'pred_boxes': final_boxes,
+            'pred_scores': final_scores,
+            'pred_labels': final_labels,
+            'pred_valid': keep_valid,
+        }
+
     def post_processing_withfgscores(self, batch_dict):
         """IoU-score-ranked NMS with fg-score filtering (reference
         detector3d_template.py:318-431 + model_nms_utils.py:27-50).
@@ -191,6 +236,25 @@ class Detector3DTemplate(nn.Module):
         }
 
 
+class SECONDNet(Detector3DTemplate):
+    """Single-stage anchor-based detector (reference
+    ``pcdet/models/detectors/second_net.py``)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing(batch_dict))
+        return batch_dict
+
+
+class PointPillar(SECONDNet):
+    """Pillar-based single-stage detector (reference
+    ``pcdet/models/detectors/pointpillar.py``)."""
+    pass
+
+
 class MGAF3DSSD(Detector3DTemplate):
     """Single-stage anchor-free detector (reference
     ``pcdet/models/detectors/mgaf_3dssd.py``)."""
@@ -217,7 +281,8 @@ class FromVoxelToPoint(Detector3DTemplate):
         return batch_dict
 
 
-DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint}
+DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint,
+                     'SECONDNet': SECONDNet, 'PointPillar': PointPillar}
 
 
 def compute_training_loss(model, batch_dict):
@@ -229,9 +294,18 @@ def compute_training_loss(model, batch_dict):
             StaticConfig(model.model_cfg.DENSE_HEAD), batch_dict['head_ret'])
         tb['loss'] = rpn_loss
         return rpn_loss, tb
+    if isinstance(model, SECONDNet):  # includes PointPillar
+        cfg = model.model_cfg
+        anchors = generate_anchors(
+            cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+            tuple(model.dataset_meta['grid_size']),
+            tuple(model.dataset_meta['point_cloud_range']))
+        rpn_loss, tb = anchor_head_loss(
+            StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+            jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
+        tb['loss'] = rpn_loss
+        return rpn_loss, tb
     if isinstance(model, FromVoxelToPoint):
-        import jax.numpy as jnp
-        from ..dense_heads.anchor_head import generate_anchors
         cfg = model.model_cfg
         anchors = generate_anchors(
             cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,

@@ -1,0 +1,92 @@
+"""Tiny-grid end-to-end tests for the stock model zoo (SECOND, PointPillar)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fv2p_tpu.config import EasyDict
+from fv2p_tpu.models import build_network
+from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
+from tests.test_mgaf_model import TINY_DATA_CFG, make_batch
+
+_ANCHOR_CFG = [
+    {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+     'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+     'align_center': False, 'feature_map_stride': 8,
+     'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+]
+
+_HEAD = {
+    'NAME': 'AnchorHeadSingle', 'CLASS_AGNOSTIC': False,
+    'USE_DIRECTION_CLASSIFIER': True, 'DIR_OFFSET': 0.78539,
+    'DIR_LIMIT_OFFSET': 0.0, 'NUM_DIR_BINS': 2,
+    'ANCHOR_GENERATOR_CONFIG': _ANCHOR_CFG,
+    'TARGET_ASSIGNER_CONFIG': {
+        'NAME': 'AxisAlignedTargetAssigner', 'POS_FRACTION': -1.0,
+        'SAMPLE_SIZE': 512, 'NORM_BY_NUM_EXAMPLES': False,
+        'MATCH_HEIGHT': False, 'BOX_CODER': 'ResidualCoder'},
+    'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+        'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+        'code_weights': [1.0] * 7}},
+}
+
+_POST = {
+    'RECALL_THRESH_LIST': [0.3, 0.5, 0.7], 'SCORE_THRESH': 0.1,
+    'OUTPUT_RAW_SCORE': False, 'EVAL_METRIC': 'kitti',
+    'NMS_CONFIG': {'MULTI_CLASSES_NMS': False, 'NMS_TYPE': 'nms_gpu',
+                   'NMS_THRESH': 0.01, 'NMS_PRE_MAXSIZE': 64,
+                   'NMS_POST_MAXSIZE': 16},
+}
+
+SECOND_CFG = EasyDict({
+    'NAME': 'SECONDNet',
+    'VFE': {'NAME': 'MeanVFE'},
+    'BACKBONE_3D': {'NAME': 'VoxelBackBone8x'},
+    'MAP_TO_BEV': {'NAME': 'HeightCompression', 'NUM_BEV_FEATURES': 256},
+    'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1, 1],
+                    'LAYER_STRIDES': [1, 2], 'NUM_FILTERS': [32, 64],
+                    'UPSAMPLE_STRIDES': [1, 2],
+                    'NUM_UPSAMPLE_FILTERS': [32, 32]},
+    'DENSE_HEAD': _HEAD, 'POST_PROCESSING': _POST,
+})
+
+PILLAR_CFG = EasyDict({
+    'NAME': 'PointPillar',
+    'VFE': {'NAME': 'PillarVFE', 'WITH_DISTANCE': False,
+            'USE_ABSLOTE_XYZ': True, 'USE_NORM': True, 'NUM_FILTERS': [32]},
+    'MAP_TO_BEV': {'NAME': 'PointPillarScatter', 'NUM_BEV_FEATURES': 32},
+    'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1, 1],
+                    'LAYER_STRIDES': [2, 2], 'NUM_FILTERS': [32, 64],
+                    'UPSAMPLE_STRIDES': [1, 2],
+                    'NUM_UPSAMPLE_FILTERS': [32, 32]},
+    'DENSE_HEAD': dict(_HEAD, ANCHOR_GENERATOR_CONFIG=[
+        dict(_ANCHOR_CFG[0], feature_map_stride=2)]),
+    'POST_PROCESSING': _POST,
+})
+
+
+@pytest.mark.parametrize('cfg', [SECOND_CFG, PILLAR_CFG],
+                         ids=['second', 'pointpillar'])
+def test_zoo_inference_and_training(cfg):
+    batch, meta = make_batch(batch_size=2, n_cap=128)
+    model = build_network(cfg, num_class=1, class_names=['Car'],
+                         dataset_meta=meta)
+    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    out = model.apply(variables, dict(batch), train=False)
+    assert out['pred_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out['pred_boxes'])).all()
+
+    params = variables['params']
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def loss_fn(params):
+        o, _ = model.apply({'params': params, **other}, dict(batch),
+                           train=True, mutable=['batch_stats'])
+        loss, tb = compute_training_loss(model, o)
+        return loss, tb
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)), tb
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
