@@ -47,7 +47,10 @@ class PointHeadSimple(nn.Module):
     @nn.compact
     def __call__(self, batch_dict, *, train: bool = False):
         cfg = self.model_cfg
-        feats = batch_dict['point_features']        # (B, K, C)
+        if cfg.get('USE_POINT_FEATURES_BEFORE_FUSION', False):
+            feats = batch_dict['point_features_before_fusion']
+        else:
+            feats = batch_dict['point_features']    # (B, K, C)
         b, k, c = feats.shape
         x = feats.reshape(-1, c)
         for i, ch in enumerate(cfg.CLS_FC):

@@ -18,12 +18,14 @@ from ..backbones_2d.map_to_bev.height_compression import HeightCompression
 from ..backbones_2d.map_to_bev.pointpillar_scatter import PointPillarScatter
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from ..backbones_3d.pfe.residual_v2p_decoder import ResidualVoxelToPointDecoder
+from ..backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.vfe.pillar_vfe import PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, generate_anchors
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
 from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
 from ..roi_heads.iouguided_roi_head import IoUGuidedRoIHead, roi_head_loss
+from ..roi_heads.pvrcnn_head import PVRCNNHead, pvrcnn_head_loss
 
 MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
                    'backbone_2d', 'dense_head', 'post_pfe', 'point_head',
@@ -112,6 +114,19 @@ class Detector3DTemplate(nn.Module):
             point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
             **common)
 
+    def _build_pfe(self):
+        cfg = self.model_cfg.get('PFE')
+        if cfg is None:
+            return None
+        assert cfg.NAME == 'VoxelSetAbstraction', cfg.NAME
+        return VoxelSetAbstraction(
+            model_cfg=StaticConfig(cfg),
+            voxel_size=tuple(self.dataset_meta['voxel_size']),
+            point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+            num_bev_features=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES),
+            num_rawpoint_features=self.dataset_meta['num_point_features'],
+            name='pfe')
+
     def _build_post_pfe(self):
         cfg = self.model_cfg.get('POST_PFE')
         if cfg is None:
@@ -126,7 +141,10 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('POINT_HEAD')
         if cfg is None:
             return None
-        in_ch = int(self.model_cfg.POST_PFE.OUT_BLOCK.OUT_CHANNELS)
+        if 'POST_PFE' in self.model_cfg:
+            in_ch = int(self.model_cfg.POST_PFE.OUT_BLOCK.OUT_CHANNELS)
+        else:
+            in_ch = int(self.model_cfg.PFE.NUM_OUTPUT_FEATURES)
         return PointHeadSimple(model_cfg=StaticConfig(cfg), input_channels=in_ch,
                                num_class=self.num_class, name='point_head')
 
@@ -134,6 +152,13 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('ROI_HEAD')
         if cfg is None:
             return None
+        if cfg.NAME == 'PVRCNNHead':
+            return PVRCNNHead(
+                model_cfg=StaticConfig(cfg), input_channels=0,
+                num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                voxel_size=tuple(self.dataset_meta['voxel_size']),
+                name='roi_head')
         return IoUGuidedRoIHead(
             model_cfg=StaticConfig(cfg), input_channels=0,
             num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
@@ -145,7 +170,7 @@ class Detector3DTemplate(nn.Module):
             'vfe': self._build_vfe,
             'backbone_3d': self._build_backbone_3d,
             'map_to_bev_module': self._build_map_to_bev,
-            'pfe': lambda: None,
+            'pfe': self._build_pfe,
             'backbone_2d': self._build_backbone_2d,
             'dense_head': self._build_dense_head,
             'post_pfe': self._build_post_pfe,
@@ -236,6 +261,18 @@ class Detector3DTemplate(nn.Module):
         }
 
 
+class PVRCNN(Detector3DTemplate):
+    """Point-Voxel RCNN (reference ``pcdet/models/detectors/pv_rcnn.py``)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing(batch_dict))
+        return batch_dict
+
+
 class SECONDNet(Detector3DTemplate):
     """Single-stage anchor-based detector (reference
     ``pcdet/models/detectors/second_net.py``)."""
@@ -282,7 +319,8 @@ class FromVoxelToPoint(Detector3DTemplate):
 
 
 DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint,
-                     'SECONDNet': SECONDNet, 'PointPillar': PointPillar}
+                     'SECONDNet': SECONDNet, 'PointPillar': PointPillar,
+                     'PVRCNN': PVRCNN}
 
 
 def compute_training_loss(model, batch_dict):
@@ -305,6 +343,24 @@ def compute_training_loss(model, batch_dict):
             jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
         tb['loss'] = rpn_loss
         return rpn_loss, tb
+    if isinstance(model, PVRCNN):
+        cfg = model.model_cfg
+        anchors = generate_anchors(
+            cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+            tuple(model.dataset_meta['grid_size']),
+            tuple(model.dataset_meta['point_cloud_range']))
+        rpn_loss, tb = anchor_head_loss(
+            StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+            jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
+        point_loss, tb_p = point_head_loss(
+            StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        rcnn_loss, tb_r = pvrcnn_head_loss(
+            StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
+        tb.update(tb_p)
+        tb.update(tb_r)
+        loss = rpn_loss + point_loss + rcnn_loss
+        tb['loss'] = loss
+        return loss, tb
     if isinstance(model, FromVoxelToPoint):
         cfg = model.model_cfg
         anchors = generate_anchors(
