@@ -74,6 +74,37 @@ class DataProcessor:
         data_dict['voxel_num_points'] = num_points
         return data_dict
 
+    def sample_points(self, data_dict=None, config=None):
+        """Random sample/pad points to NUM_POINTS (reference
+        data_processor.py:104-140: far-point-preserving subsample)."""
+        if data_dict is None:
+            self.num_sampled_points = int(config.NUM_POINTS[self.mode])
+            return partial(self.sample_points, config=config)
+        num_points = int(config.NUM_POINTS[self.mode])
+        points = data_dict['points']
+        if num_points < len(points):
+            pts_depth = np.linalg.norm(points[:, 0:3], axis=1)
+            pts_near_flag = pts_depth < 40.0
+            far_idxs_choice = np.where(pts_near_flag == 0)[0]
+            near_idxs = np.where(pts_near_flag == 1)[0]
+            choice = []
+            if num_points > len(far_idxs_choice):
+                near_idxs_choice = np.random.choice(
+                    near_idxs, num_points - len(far_idxs_choice), replace=False)
+                choice = np.concatenate((near_idxs_choice, far_idxs_choice), axis=0)                     if len(far_idxs_choice) > 0 else near_idxs_choice
+            else:
+                choice = np.arange(0, len(points), dtype=np.int32)
+                choice = np.random.choice(choice, num_points, replace=False)
+            np.random.shuffle(choice)
+        else:
+            choice = np.arange(0, len(points), dtype=np.int32)
+            if num_points > len(points):
+                extra_choice = np.random.choice(choice, num_points - len(points))
+                choice = np.concatenate((choice, extra_choice), axis=0)
+            np.random.shuffle(choice)
+        data_dict['points'] = points[choice]
+        return data_dict
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)
@@ -85,6 +116,8 @@ class DataProcessor:
 
     def pad_to_fixed_shape(self, data_dict):
         """Pad per-sample voxel arrays to the static capacity + valid mask."""
+        if self.max_voxels is None:
+            return data_dict
         cap = self.max_voxels
         voxels = data_dict['voxels']
         n = voxels.shape[0]

@@ -16,6 +16,7 @@ from ...utils import iou3d
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone, DCNBEVBackbone
 from ..backbones_2d.map_to_bev.height_compression import HeightCompression
 from ..backbones_2d.map_to_bev.pointpillar_scatter import PointPillarScatter
+from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from ..backbones_3d.pfe.residual_v2p_decoder import ResidualVoxelToPointDecoder
 from ..backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
@@ -23,8 +24,10 @@ from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.vfe.pillar_vfe import PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, generate_anchors
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
+from ..dense_heads.point_head_box import PointHeadBox, point_head_box_loss
 from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
 from ..roi_heads.iouguided_roi_head import IoUGuidedRoIHead, roi_head_loss
+from ..roi_heads.pointrcnn_head import PointRCNNHead, pointrcnn_head_loss
 from ..roi_heads.pvrcnn_head import PVRCNNHead, pvrcnn_head_loss
 
 MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
@@ -67,6 +70,11 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('BACKBONE_3D')
         if cfg is None:
             return None
+        if cfg.NAME == 'PointNet2MSG':
+            return PointNet2MSG(
+                model_cfg=StaticConfig(cfg),
+                input_channels=self.dataset_meta['num_point_features'],
+                name='backbone_3d')
         return BACKBONE_3D_REGISTRY[cfg.NAME](
             model_cfg=StaticConfig(cfg),
             input_channels=self.dataset_meta['num_point_features'],
@@ -141,6 +149,10 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('POINT_HEAD')
         if cfg is None:
             return None
+        if cfg.NAME == 'PointHeadBox':
+            in_ch = int(self.model_cfg.BACKBONE_3D.FP_MLPS[0][-1])
+            return PointHeadBox(model_cfg=StaticConfig(cfg), input_channels=in_ch,
+                                num_class=self.num_class, name='point_head')
         if 'POST_PFE' in self.model_cfg:
             in_ch = int(self.model_cfg.POST_PFE.OUT_BLOCK.OUT_CHANNELS)
         else:
@@ -152,6 +164,13 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('ROI_HEAD')
         if cfg is None:
             return None
+        if cfg.NAME == 'PointRCNNHead':
+            return PointRCNNHead(
+                model_cfg=StaticConfig(cfg), input_channels=0,
+                num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                voxel_size=tuple(self.dataset_meta['voxel_size']),
+                name='roi_head')
         if cfg.NAME == 'PVRCNNHead':
             return PVRCNNHead(
                 model_cfg=StaticConfig(cfg), input_channels=0,
@@ -261,6 +280,19 @@ class Detector3DTemplate(nn.Module):
         }
 
 
+class PointRCNN(Detector3DTemplate):
+    """Point-based two-stage detector (reference
+    ``pcdet/models/detectors/point_rcnn.py``)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing(batch_dict))
+        return batch_dict
+
+
 class PVRCNN(Detector3DTemplate):
     """Point-Voxel RCNN (reference ``pcdet/models/detectors/pv_rcnn.py``)."""
 
@@ -320,7 +352,7 @@ class FromVoxelToPoint(Detector3DTemplate):
 
 DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint,
                      'SECONDNet': SECONDNet, 'PointPillar': PointPillar,
-                     'PVRCNN': PVRCNN}
+                     'PVRCNN': PVRCNN, 'PointRCNN': PointRCNN}
 
 
 def compute_training_loss(model, batch_dict):
@@ -343,6 +375,16 @@ def compute_training_loss(model, batch_dict):
             jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
         tb['loss'] = rpn_loss
         return rpn_loss, tb
+    if isinstance(model, PointRCNN):
+        cfg = model.model_cfg
+        point_loss, tb = point_head_box_loss(
+            StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        rcnn_loss, tb_r = pointrcnn_head_loss(
+            StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
+        tb.update(tb_r)
+        loss = point_loss + rcnn_loss
+        tb['loss'] = loss
+        return loss, tb
     if isinstance(model, PVRCNN):
         cfg = model.model_cfg
         anchors = generate_anchors(

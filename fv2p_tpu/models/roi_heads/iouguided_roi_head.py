@@ -172,8 +172,13 @@ def assign_targets(key, batch_dict, target_cfg):
     ious = out['gt_iou_of_rois']
     fg = ious > iou_fg
     bg = ious < iou_bg
-    soft = (ious - iou_bg) / (iou_fg - iou_bg)
-    cls_labels = jnp.where(fg, 1.0, jnp.where(bg, 0.0, soft))
+    if target_cfg.get('CLS_SCORE_TYPE', 'roi_iou') == 'cls':
+        # hard labels with an ignore band (reference proposal_target_layer
+        # CLS_SCORE_TYPE 'cls' branch)
+        cls_labels = jnp.where(fg, 1.0, jnp.where(bg, 0.0, -1.0))
+    else:
+        soft = (ious - iou_bg) / (iou_fg - iou_bg)
+        cls_labels = jnp.where(fg, 1.0, jnp.where(bg, 0.0, soft))
     out['rcnn_cls_labels'] = cls_labels
     out['reg_valid_mask'] = (ious > float(target_cfg.REG_FG_THRESH)).astype(jnp.int32)
     return out

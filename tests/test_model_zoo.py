@@ -182,3 +182,91 @@ def test_pvrcnn_inference_and_training():
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+POINTRCNN_CFG = EasyDict({
+    'NAME': 'PointRCNN',
+    'BACKBONE_3D': {
+        'NAME': 'PointNet2MSG',
+        'SA_CONFIG': {
+            'NPOINTS': [64, 16],
+            'RADIUS': [[0.4, 0.8], [0.8, 1.6]],
+            'NSAMPLE': [[8, 8], [8, 8]],
+            'MLPS': [[[8, 8], [8, 8]], [[16, 16], [16, 16]]],
+        },
+        'FP_MLPS': [[32, 32], [32, 32]],
+    },
+    'POINT_HEAD': {
+        'NAME': 'PointHeadBox', 'CLS_FC': [16], 'REG_FC': [16],
+        'CLASS_AGNOSTIC': False, 'USE_POINT_FEATURES_BEFORE_FUSION': False,
+        'TARGET_CONFIG': {
+            'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+            'BOX_CODER': 'PointResidualCoder',
+            'BOX_CODER_CONFIG': {'use_mean_size': True,
+                                 'mean_size': [[3.9, 1.6, 1.56]]}},
+        'LOSS_CONFIG': {'LOSS_REG': 'WeightedSmoothL1Loss',
+                        'LOSS_WEIGHTS': {'point_cls_weight': 1.0,
+                                         'point_box_weight': 1.0,
+                                         'code_weights': [1.0] * 8}},
+    },
+    'ROI_HEAD': {
+        'NAME': 'PointRCNNHead', 'CLASS_AGNOSTIC': True,
+        'ROI_POINT_POOL': {'POOL_EXTRA_WIDTH': [0.0, 0.0, 0.0],
+                           'NUM_SAMPLED_POINTS': 32, 'DEPTH_NORMALIZER': 70.0},
+        'XYZ_UP_LAYER': [16, 16], 'CLS_FC': [16], 'REG_FC': [16],
+        'DP_RATIO': 0.0, 'USE_BN': False,
+        'SA_CONFIG': {'NPOINTS': [16, 8, -1], 'RADIUS': [0.2, 0.4, 100],
+                      'NSAMPLE': [4, 4, 4],
+                      'MLPS': [[16, 16], [16, 32], [32, 32]]},
+        'NMS_CONFIG': {
+            'TRAIN': {'NMS_TYPE': 'nms_gpu', 'MULTI_CLASSES_NMS': False,
+                      'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 24,
+                      'NMS_THRESH': 0.8},
+            'TEST': {'NMS_TYPE': 'nms_gpu', 'MULTI_CLASSES_NMS': False,
+                     'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 12,
+                     'NMS_THRESH': 0.85}},
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder', 'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+            'SAMPLE_ROI_BY_EACH_CLASS': True, 'CLS_SCORE_TYPE': 'cls',
+            'CLS_FG_THRESH': 0.6, 'CLS_BG_THRESH': 0.45,
+            'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+            'REG_FG_THRESH': 0.55},
+        'LOSS_CONFIG': {
+            'CLS_LOSS': 'BinaryCrossEntropy', 'REG_LOSS': 'smooth-l1',
+            'CORNER_LOSS_REGULARIZATION': True,
+            'LOSS_WEIGHTS': {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                             'rcnn_corner_weight': 1.0,
+                             'code_weights': [1.0] * 7}},
+    },
+    'POST_PROCESSING': _POST,
+})
+
+
+def test_pointrcnn_inference_and_training():
+    from tests.test_fv2p_model import make_fv2p_batch
+    batch, meta = make_fv2p_batch(batch_size=2, n_cap=128)
+    model = build_network(POINTRCNN_CFG, num_class=1, class_names=['Car'],
+                         dataset_meta=meta)
+    rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
+            'dropout': jax.random.PRNGKey(2)}
+    variables = model.init(rngs, dict(batch), train=False)
+    out = model.apply(variables, dict(batch), train=False)
+    assert out['pred_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out['pred_boxes'])).all()
+
+    params = variables['params']
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {'params': params, **other}, dict(batch), train=True,
+            mutable=['batch_stats'],
+            rngs={'sampling': jax.random.PRNGKey(3),
+                  'dropout': jax.random.PRNGKey(4)})
+        loss, tb = compute_training_loss(model, o)
+        return loss, tb
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
