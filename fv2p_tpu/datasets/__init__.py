@@ -9,11 +9,17 @@ def dataset_meta_from_cfg(data_cfg, split='train'):
     pc_range = np.array(data_cfg.POINT_CLOUD_RANGE, np.float32)
     voxel_size = None
     voxel_caps = None
+    max_ppv = 0
     for proc in data_cfg.DATA_PROCESSOR:
         if proc.NAME == 'transform_points_to_voxels':
             voxel_size = np.array(proc.VOXEL_SIZE, np.float32)
             voxel_caps = proc.MAX_NUMBER_OF_VOXELS
-    assert voxel_size is not None, 'no voxelizer in DATA_PROCESSOR'
+            max_ppv = int(proc.MAX_POINTS_PER_VOXEL)
+    if voxel_size is None:
+        # point-only pipelines (e.g. PointRCNN): nominal 0.05m grid for the
+        # modules that consume voxel_size/grid_size metadata
+        voxel_size = np.array([0.05, 0.05, 0.1], np.float32)
+        voxel_caps = {split: 0}
     grid_size = np.round((pc_range[3:6] - pc_range[0:3]) / voxel_size).astype(int)
     num_point_features = len(data_cfg.POINT_FEATURE_ENCODING['used_feature_list'])
     return {
@@ -22,5 +28,5 @@ def dataset_meta_from_cfg(data_cfg, split='train'):
         'point_cloud_range': tuple(float(v) for v in pc_range),
         'num_point_features': num_point_features,
         'voxel_capacity': int(voxel_caps[split]),
-        'max_points_per_voxel': int(proc.MAX_POINTS_PER_VOXEL),
+        'max_points_per_voxel': max_ppv,
     }
