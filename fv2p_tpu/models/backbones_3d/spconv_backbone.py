@@ -118,6 +118,14 @@ class VoxelResBackBone8x(nn.Module):
                          rb['coords_x_conv3'].shape[1])
             nbrd5 = glob(rb['down_x_conv4->out'],
                          rb['coords_x_conv4'].shape[1])
+            invd2 = glob(rb['down_inv_x_conv1->x_conv2'],
+                         rb['coords_x_conv2'].shape[1])
+            invd3 = glob(rb['down_inv_x_conv2->x_conv3'],
+                         rb['coords_x_conv3'].shape[1])
+            invd4 = glob(rb['down_inv_x_conv3->x_conv4'],
+                         rb['coords_x_conv4'].shape[1])
+            invd5 = glob(rb['down_inv_x_conv4->out'],
+                         rb['coords_out'].shape[1])
         else:
             st = input_sparse_tensor(batch_dict, s1)
             caps = level_capacities(st.capacity)
@@ -132,8 +140,10 @@ class VoxelResBackBone8x(nn.Module):
 
         # level 2 (stride 2)
         if rb is None:
-            out2, nbrd2 = rulebook.downsample_rulebook(x_conv1, 3, 2, 1, caps['x_conv2'])
-        x = SparseConvBNReLU(32, 3, 'spconv', cd, name='down2')(x_conv1, out2, nbrd2, train=train)
+            out2, nbrd2, invd2 = rulebook.downsample_rulebook(
+                x_conv1, 3, 2, 1, caps['x_conv2'])
+        x = SparseConvBNReLU(32, 3, 'spconv', cd, name='down2')(
+            x_conv1, out2, nbrd2, invd2, train=train)
         if rb is None:
             nbr2 = rulebook.subm_rulebook(x, 3)
         x = SparseBasicBlock(32, cd, name='res2a')(x, nbr2, train=train)
@@ -141,8 +151,10 @@ class VoxelResBackBone8x(nn.Module):
 
         # level 3 (stride 4)
         if rb is None:
-            out3, nbrd3 = rulebook.downsample_rulebook(x_conv2, 3, 2, 1, caps['x_conv3'])
-        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down3')(x_conv2, out3, nbrd3, train=train)
+            out3, nbrd3, invd3 = rulebook.downsample_rulebook(
+                x_conv2, 3, 2, 1, caps['x_conv3'])
+        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down3')(
+            x_conv2, out3, nbrd3, invd3, train=train)
         if rb is None:
             nbr3 = rulebook.subm_rulebook(x, 3)
         x = SparseBasicBlock(64, cd, name='res3a')(x, nbr3, train=train)
@@ -150,9 +162,10 @@ class VoxelResBackBone8x(nn.Module):
 
         # level 4 (stride 8), z-pad (0,1,1) like the reference
         if rb is None:
-            out4, nbrd4 = rulebook.downsample_rulebook(
+            out4, nbrd4, invd4 = rulebook.downsample_rulebook(
                 x_conv3, 3, 2, (0, 1, 1), caps['x_conv4'])
-        x = SparseConvBNReLU(128, 3, 'spconv', cd, name='down4')(x_conv3, out4, nbrd4, train=train)
+        x = SparseConvBNReLU(128, 3, 'spconv', cd, name='down4')(
+            x_conv3, out4, nbrd4, invd4, train=train)
         if rb is None:
             nbr4 = rulebook.subm_rulebook(x, 3)
         x = SparseBasicBlock(128, cd, name='res4a')(x, nbr4, train=train)
@@ -160,10 +173,10 @@ class VoxelResBackBone8x(nn.Module):
 
         # z-squash for the BEV head: kernel (3,1,1) stride (2,1,1)
         if rb is None:
-            out5, nbrd5 = rulebook.downsample_rulebook(
+            out5, nbrd5, invd5 = rulebook.downsample_rulebook(
                 x_conv4, (3, 1, 1), (2, 1, 1), 0, caps['out'])
         out = SparseConvBNReLU(128, (3, 1, 1), 'spconv', cd, name='conv_out')(
-            x_conv4, out5, nbrd5, train=train)
+            x_conv4, out5, nbrd5, invd5, train=train)
 
         batch_dict.update({
             'encoded_spconv_tensor': out,
@@ -202,29 +215,34 @@ class VoxelBackBone8x(nn.Module):
         x = SparseConvBNReLU(16, 3, 'subm', cd, name='conv_input')(st, nbr1, train=train)
         x_conv1 = SparseConvBNReLU(16, 3, 'subm', cd, name='conv1')(x, nbr1, train=train)
 
-        out2, nbrd2 = rulebook.downsample_rulebook(x_conv1, 3, 2, 1, caps['x_conv2'])
-        x = SparseConvBNReLU(32, 3, 'spconv', cd, name='down2')(x_conv1, out2, nbrd2, train=train)
+        out2, nbrd2, invd2 = rulebook.downsample_rulebook(
+            x_conv1, 3, 2, 1, caps['x_conv2'])
+        x = SparseConvBNReLU(32, 3, 'spconv', cd, name='down2')(
+            x_conv1, out2, nbrd2, invd2, train=train)
         nbr2 = rulebook.subm_rulebook(x, 3)
         x = SparseConvBNReLU(32, 3, 'subm', cd, name='conv2a')(x, nbr2, train=train)
         x_conv2 = SparseConvBNReLU(32, 3, 'subm', cd, name='conv2b')(x, nbr2, train=train)
 
-        out3, nbrd3 = rulebook.downsample_rulebook(x_conv2, 3, 2, 1, caps['x_conv3'])
-        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down3')(x_conv2, out3, nbrd3, train=train)
+        out3, nbrd3, invd3 = rulebook.downsample_rulebook(
+            x_conv2, 3, 2, 1, caps['x_conv3'])
+        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down3')(
+            x_conv2, out3, nbrd3, invd3, train=train)
         nbr3 = rulebook.subm_rulebook(x, 3)
         x = SparseConvBNReLU(64, 3, 'subm', cd, name='conv3a')(x, nbr3, train=train)
         x_conv3 = SparseConvBNReLU(64, 3, 'subm', cd, name='conv3b')(x, nbr3, train=train)
 
-        out4, nbrd4 = rulebook.downsample_rulebook(
+        out4, nbrd4, invd4 = rulebook.downsample_rulebook(
             x_conv3, 3, 2, (0, 1, 1), caps['x_conv4'])
-        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down4')(x_conv3, out4, nbrd4, train=train)
+        x = SparseConvBNReLU(64, 3, 'spconv', cd, name='down4')(
+            x_conv3, out4, nbrd4, invd4, train=train)
         nbr4 = rulebook.subm_rulebook(x, 3)
         x = SparseConvBNReLU(64, 3, 'subm', cd, name='conv4a')(x, nbr4, train=train)
         x_conv4 = SparseConvBNReLU(64, 3, 'subm', cd, name='conv4b')(x, nbr4, train=train)
 
-        out5, nbrd5 = rulebook.downsample_rulebook(
+        out5, nbrd5, invd5 = rulebook.downsample_rulebook(
             x_conv4, (3, 1, 1), (2, 1, 1), 0, caps['out'])
         out = SparseConvBNReLU(128, (3, 1, 1), 'spconv', cd, name='conv_out')(
-            x_conv4, out5, nbrd5, train=train)
+            x_conv4, out5, nbrd5, invd5, train=train)
 
         batch_dict.update({
             'encoded_spconv_tensor': out,

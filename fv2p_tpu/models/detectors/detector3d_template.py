@@ -29,6 +29,7 @@ from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
 from ..roi_heads.iouguided_roi_head import IoUGuidedRoIHead, roi_head_loss
 from ..roi_heads.pointrcnn_head import PointRCNNHead, pointrcnn_head_loss
 from ..roi_heads.pvrcnn_head import PVRCNNHead, pvrcnn_head_loss
+from ..roi_heads.voxelrcnn_head import VoxelRCNNHead, voxelrcnn_head_loss
 
 MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
                    'backbone_2d', 'dense_head', 'post_pfe', 'point_head',
@@ -164,6 +165,13 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('ROI_HEAD')
         if cfg is None:
             return None
+        if cfg.NAME == 'VoxelRCNNHead':
+            return VoxelRCNNHead(
+                model_cfg=StaticConfig(cfg), input_channels=0,
+                num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                voxel_size=tuple(self.dataset_meta['voxel_size']),
+                name='roi_head')
         if cfg.NAME == 'PointRCNNHead':
             return PointRCNNHead(
                 model_cfg=StaticConfig(cfg), input_channels=0,
@@ -280,6 +288,18 @@ class Detector3DTemplate(nn.Module):
         }
 
 
+class VoxelRCNN(Detector3DTemplate):
+    """Voxel R-CNN (reference ``pcdet/models/detectors/voxel_rcnn.py``)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing(batch_dict))
+        return batch_dict
+
+
 class PointRCNN(Detector3DTemplate):
     """Point-based two-stage detector (reference
     ``pcdet/models/detectors/point_rcnn.py``)."""
@@ -352,7 +372,8 @@ class FromVoxelToPoint(Detector3DTemplate):
 
 DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint,
                      'SECONDNet': SECONDNet, 'PointPillar': PointPillar,
-                     'PVRCNN': PVRCNN, 'PointRCNN': PointRCNN}
+                     'PVRCNN': PVRCNN, 'PointRCNN': PointRCNN,
+                     'VoxelRCNN': VoxelRCNN}
 
 
 def compute_training_loss(model, batch_dict):
@@ -375,6 +396,21 @@ def compute_training_loss(model, batch_dict):
             jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
         tb['loss'] = rpn_loss
         return rpn_loss, tb
+    if isinstance(model, VoxelRCNN):
+        cfg = model.model_cfg
+        anchors = generate_anchors(
+            cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+            tuple(model.dataset_meta['grid_size']),
+            tuple(model.dataset_meta['point_cloud_range']))
+        rpn_loss, tb = anchor_head_loss(
+            StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+            jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
+        rcnn_loss, tb_r = voxelrcnn_head_loss(
+            StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
+        tb.update(tb_r)
+        loss = rpn_loss + rcnn_loss
+        tb['loss'] = loss
+        return loss, tb
     if isinstance(model, PointRCNN):
         cfg = model.model_cfg
         point_loss, tb = point_head_box_loss(

@@ -97,39 +97,47 @@ def modulated_deform_conv(x, offset_dy, offset_dx, mask, weights,
         mask: (B, H, W, G*K) modulation in [0, 1] (already sigmoided).
         weights: (K, C, Cout).
     Returns: (B, H, W, Cout) float32.
+
+    Memory note: the K kernel taps are accumulated under ``lax.scan`` with a
+    checkpointed body — a single fused formulation keeps (B, G, H*W*K, Cg)
+    gather temporaries live through the backward pass and OOMs training at
+    realistic sizes; the scan bounds peak memory to one tap.
     """
     b, h, w, c = x.shape
     g = deformable_groups
     k = kernel_size * kernel_size
     cg = c // g
     pad = (kernel_size - 1) // 2
+    cout = weights.shape[-1]
 
-    # base sampling grid: output (y, x) + tap offset - pad
     ky, kx = np.meshgrid(np.arange(kernel_size), np.arange(kernel_size),
                          indexing='ij')
     tap_y = jnp.asarray(ky.reshape(-1), x.dtype) - pad  # (K,)
     tap_x = jnp.asarray(kx.reshape(-1), x.dtype) - pad
-    base_y = jax.lax.broadcasted_iota(x.dtype, (h, w), 0)
-    base_x = jax.lax.broadcasted_iota(x.dtype, (h, w), 1)
+    base_y = jax.lax.broadcasted_iota(x.dtype, (h, w), 0).reshape(h * w)
+    base_x = jax.lax.broadcasted_iota(x.dtype, (h, w), 1).reshape(h * w)
 
-    dy = offset_dy.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4)  # (B,G,H,W,K)
-    dx = offset_dx.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4)
-    sy = base_y[None, None, :, :, None] + tap_y[None, None, None, None, :] + dy
-    sx = base_x[None, None, :, :, None] + tap_x[None, None, None, None, :] + dx
-    sy = sy.reshape(b, g, h * w * k)
-    sx = sx.reshape(b, g, h * w * k)
+    dy = offset_dy.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)  # (K,B,G,HW)
+    dx = offset_dx.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)
+    m = mask.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)
 
     xg = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)  # (B, G, H*W, Cg)
-    sampled = _bilinear_sample(xg, sy, sx, h, w)            # (B, G, HWK, Cg)
-    sampled = sampled.reshape(b, g, h * w, k, cg)
 
-    m = mask.reshape(b, h, w, g, k).transpose(0, 3, 1, 2, 4).reshape(b, g, h * w, k)
-    sampled = sampled * m[..., None]
+    @jax.checkpoint
+    def tap_body(carry, inputs):
+        dy_k, dx_k, m_k, ty, tx, w_k = inputs
+        sy = base_y[None, None, :] + ty + dy_k             # (B, G, HW)
+        sx = base_x[None, None, :] + tx + dx_k
+        sampled = _bilinear_sample(xg, sy, sx, h, w)       # (B, G, HW, Cg)
+        sampled = sampled * m_k[..., None]
+        flat = sampled.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out_k = jnp.einsum('bnc,co->bno', flat, w_k,
+                           preferred_element_type=jnp.float32)
+        return carry + out_k, None
 
-    # (B, HW, K, G, Cg) -> (B, HW, K, C) then contract with (K, C, Cout)
-    sampled = sampled.transpose(0, 2, 3, 1, 4).reshape(b, h * w, k, c)
-    out = jnp.einsum('bnkc,kco->bno', sampled, weights,
-                     preferred_element_type=jnp.float32)
+    init = jnp.zeros((b, h * w, cout), jnp.float32)
+    out, _ = jax.lax.scan(tap_body, init,
+                          (dy, dx, m, tap_y, tap_x, weights))
     return out.reshape(b, h, w, -1)
 
 

@@ -21,22 +21,63 @@ from .rulebook import _as3
 from .sparse_tensor import SparseTensor
 
 
-def sparse_conv_apply(features, nbr_idx, weights, compute_dtype=None):
+def _conv_fwd_core(features, weights, nbr_idx):
+    pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    gathered = pad[nbr_idx]  # (K, N_out, Cin)
+    return jnp.einsum('kni,kio->no', gathered, weights,
+                      preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def _sparse_conv_core(features, weights, nbr_idx, inv_idx):
+    """inv_idx: (K, N_in_cap) int32 — for input row i and tap k, the output
+    row it feeds (sentinel N_out == zero row). Enables a gather-GEMM backward
+    (TPU scatter-adds with colliding indices serialize: the autodiff VJP of
+    the forward gather costs ~seconds per layer)."""
+    return _conv_fwd_core(features, weights, nbr_idx)
+
+
+def _sparse_conv_core_fwd(features, weights, nbr_idx, inv_idx):
+    return _conv_fwd_core(features, weights, nbr_idx), (
+        features, weights, nbr_idx, inv_idx)
+
+
+def _sparse_conv_core_bwd(res, dout):
+    features, weights, nbr_idx, inv_idx = res
+    dout = dout.astype(features.dtype)
+    pad_f = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    gathered = pad_f[nbr_idx]                                 # (K, N_out, Cin)
+    dw = jnp.einsum('kni,no->kio', gathered, dout,
+                    preferred_element_type=jnp.float32).astype(weights.dtype)
+    pad_d = jnp.concatenate(
+        [dout, jnp.zeros((1, dout.shape[1]), dout.dtype)], axis=0)
+    gd = pad_d[inv_idx]                                       # (K, N_in, Cout)
+    dfeat = jnp.einsum('kno,kio->ni', gd, weights,
+                       preferred_element_type=jnp.float32).astype(features.dtype)
+    return dfeat, dw, None, None
+
+
+_sparse_conv_core.defvjp(_sparse_conv_core_fwd, _sparse_conv_core_bwd)
+
+
+def sparse_conv_apply(features, nbr_idx, weights, compute_dtype=None,
+                      inv_idx=None):
     """Args:
         features: (N_in_cap, Cin).
         nbr_idx: (K, N_out) int32 in [0, N_in_cap]; N_in_cap == zero row.
         weights: (K, Cin, Cout).
+        inv_idx: optional (K, N_in_cap) inverse table for the scatter-free
+            custom backward; without it XLA autodiff (scatter-add) is used.
     Returns: (N_out, Cout) float32.
     """
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    pad = jnp.concatenate(
-        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
-    gathered = pad[nbr_idx]  # (K, N_out, Cin)
-    out = jnp.einsum('kni,kio->no', gathered, weights,
-                     preferred_element_type=jnp.float32)
-    return out
+    if inv_idx is not None:
+        return _sparse_conv_core(features, weights, nbr_idx, inv_idx)
+    return _conv_fwd_core(features, weights, nbr_idx)
 
 
 class SubMConv3d(nn.Module):
@@ -47,12 +88,17 @@ class SubMConv3d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, nbr_idx):
+    def __call__(self, st: SparseTensor, nbr_idx, inv_idx=None):
         k = int(np.prod(_as3(self.kernel_size)))
         cin = st.num_channels
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (k, cin, self.out_channels))
-        feats = sparse_conv_apply(st.features, nbr_idx, w, self.compute_dtype)
+        if inv_idx is None:
+            # subm kernels are symmetric: the inverse table is the tap-
+            # mirrored forward table (out coords == in coords)
+            inv_idx = jnp.flip(nbr_idx, axis=0)
+        feats = sparse_conv_apply(st.features, nbr_idx, w, self.compute_dtype,
+                                  inv_idx=inv_idx)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
             feats = feats + b
@@ -69,12 +115,14 @@ class SparseConv3d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, in_st: SparseTensor, out_st: SparseTensor, nbr_idx):
+    def __call__(self, in_st: SparseTensor, out_st: SparseTensor, nbr_idx,
+                 inv_idx=None):
         k = int(np.prod(_as3(self.kernel_size)))
         cin = in_st.num_channels
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (k, cin, self.out_channels))
-        feats = sparse_conv_apply(in_st.features, nbr_idx, w, self.compute_dtype)
+        feats = sparse_conv_apply(in_st.features, nbr_idx, w, self.compute_dtype,
+                                  inv_idx=inv_idx)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
             feats = feats + b
@@ -130,10 +178,14 @@ class SparseConvBNReLU(nn.Module):
             st = SubMConv3d(self.out_channels, self.kernel_size,
                             compute_dtype=self.compute_dtype, name='conv')(st, nbr_idx)
         elif self.conv_type == 'spconv':
-            out_st, nbr_idx = rulebook_args
+            if len(rulebook_args) == 3:
+                out_st, nbr_idx, inv_idx = rulebook_args
+            else:
+                out_st, nbr_idx = rulebook_args
+                inv_idx = None
             st = SparseConv3d(self.out_channels, self.kernel_size,
                               compute_dtype=self.compute_dtype, name='conv')(
-                st, out_st, nbr_idx)
+                st, out_st, nbr_idx, inv_idx)
         else:
             raise NotImplementedError(self.conv_type)
         feats = MaskedBatchNorm(name='bn')(st.features, st.valid_mask(),

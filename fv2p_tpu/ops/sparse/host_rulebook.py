@@ -175,6 +175,14 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
         oc, m, table = _down_tables(src_c, level_nv[src], src_shape, k, s, p,
                                     caps[dst])
         out[f'down_{src}->{dst}'] = table
+        # inverse table for the scatter-free conv backward:
+        # inv[k, i] = o with table[k, o] = i (unique per tap)
+        kk = table.shape[0]
+        inv = np.full((kk, caps[src]), -1, np.int32)
+        for ki in range(kk):
+            valid_o = table[ki] >= 0
+            inv[ki, table[ki][valid_o]] = np.nonzero(valid_o)[0]
+        out[f'down_inv_{src}->{dst}'] = inv
         dst_shape = _out_shape(src_shape, k, s, p)
         level_coords[dst] = oc.astype(np.int64)
         level_shape[dst] = dst_shape
@@ -210,6 +218,8 @@ def collate_rulebooks(samples, spec):
     for src, dst, k, s_, p in spec['downs']:
         out[f'down_{src}->{dst}'] = np.stack(
             [s[f'down_{src}->{dst}'] for s in samples]).astype(np.int32)
+        out[f'down_inv_{src}->{dst}'] = np.stack(
+            [s[f'down_inv_{src}->{dst}'] for s in samples]).astype(np.int32)
     for lvl in spec['levels']:
         out[f'coords_{lvl}'] = np.stack(
             [s[f'coords_{lvl}'] for s in samples])            # (B, cap, 3)

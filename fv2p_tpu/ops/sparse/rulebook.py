@@ -126,7 +126,9 @@ def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
     all per-input candidate cells into a dense bool grid of the (smaller)
     output level and ranking active cells with a cumsum — no sort/unique.
 
-    Returns (out_st with empty features, nbr_idx (K, out_capacity)).
+    Returns (out_st with empty features, nbr_idx (K, out_capacity),
+    inv_idx (K, in_capacity) — the transpose table for the scatter-free
+    conv backward; unique per tap so the build scatter vectorizes).
     """
     kd, kh, kw = _as3(kernel_size)
     sd, sh, sw = _as3(stride)
@@ -158,4 +160,15 @@ def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
     in_bounds = ((iz >= 0) & (iz < d) & (iy >= 0) & (iy < h)
                  & (ix >= 0) & (ix < w) & out_valid[None, :])
     nbr_idx = st.lookup(ib, iz, iy, ix, in_bounds)
-    return out_st, nbr_idx
+
+    # inverse table: inv[k, i] = o with nbr[k, o] = i (unique per tap)
+    n_in = st.capacity
+    n_out = out_capacity
+    k = nbr_idx.shape[0]
+    o_ids = jnp.broadcast_to(
+        jnp.arange(n_out, dtype=jnp.int32)[None, :], nbr_idx.shape)
+    inv_idx = jnp.full((k, n_in + 1), n_out, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(k)[:, None], nbr_idx.shape)
+    inv_idx = inv_idx.at[rows, nbr_idx].set(
+        o_ids, mode='drop', unique_indices=True)[:, :n_in]
+    return out_st, nbr_idx, inv_idx

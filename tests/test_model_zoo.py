@@ -270,3 +270,81 @@ def test_pointrcnn_inference_and_training():
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+VOXELRCNN_CFG = EasyDict({
+    'NAME': 'VoxelRCNN',
+    'VFE': {'NAME': 'MeanVFE'},
+    'BACKBONE_3D': {'NAME': 'VoxelBackBone8x'},
+    'MAP_TO_BEV': {'NAME': 'HeightCompression', 'NUM_BEV_FEATURES': 256},
+    'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1, 1],
+                    'LAYER_STRIDES': [1, 2], 'NUM_FILTERS': [32, 64],
+                    'UPSAMPLE_STRIDES': [1, 2],
+                    'NUM_UPSAMPLE_FILTERS': [32, 32]},
+    'DENSE_HEAD': _HEAD,
+    'ROI_HEAD': {
+        'NAME': 'VoxelRCNNHead', 'CLASS_AGNOSTIC': True,
+        'SHARED_FC': [32, 32], 'CLS_FC': [16, 16], 'REG_FC': [16, 16],
+        'DP_RATIO': 0.3,
+        'NMS_CONFIG': {
+            'TRAIN': {'NMS_TYPE': 'nms_gpu', 'MULTI_CLASSES_NMS': False,
+                      'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 24,
+                      'NMS_THRESH': 0.8},
+            'TEST': {'NMS_TYPE': 'nms_gpu', 'MULTI_CLASSES_NMS': False,
+                     'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 12,
+                     'NMS_THRESH': 0.7}},
+        'ROI_GRID_POOL': {
+            'FEATURES_SOURCE': ['x_conv3', 'x_conv4'], 'PRE_MLP': True,
+            'GRID_SIZE': 3,
+            'POOL_LAYERS': {
+                'x_conv3': {'MLPS': [[8, 8]], 'QUERY_RANGES': [[4, 4, 4]],
+                            'POOL_RADIUS': [0.8], 'NSAMPLE': [4],
+                            'POOL_METHOD': 'max_pool'},
+                'x_conv4': {'MLPS': [[8, 8]], 'QUERY_RANGES': [[4, 4, 4]],
+                            'POOL_RADIUS': [1.6], 'NSAMPLE': [4],
+                            'POOL_METHOD': 'max_pool'},
+            }},
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder', 'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+            'SAMPLE_ROI_BY_EACH_CLASS': True, 'CLS_SCORE_TYPE': 'roi_iou',
+            'CLS_FG_THRESH': 0.75, 'CLS_BG_THRESH': 0.25,
+            'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+            'REG_FG_THRESH': 0.55},
+        'LOSS_CONFIG': {
+            'CLS_LOSS': 'BinaryCrossEntropy', 'REG_LOSS': 'smooth-l1',
+            'CORNER_LOSS_REGULARIZATION': True,
+            'LOSS_WEIGHTS': {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                             'rcnn_corner_weight': 1.0,
+                             'code_weights': [1.0] * 7}},
+    },
+    'POST_PROCESSING': _POST,
+})
+
+
+def test_voxelrcnn_inference_and_training():
+    batch, meta = make_batch(batch_size=2, n_cap=128)
+    model = build_network(VOXELRCNN_CFG, num_class=1, class_names=['Car'],
+                         dataset_meta=meta)
+    rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
+            'dropout': jax.random.PRNGKey(2)}
+    variables = model.init(rngs, dict(batch), train=False)
+    out = model.apply(variables, dict(batch), train=False)
+    assert out['pred_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out['pred_boxes'])).all()
+
+    params = variables['params']
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {'params': params, **other}, dict(batch), train=True,
+            mutable=['batch_stats'],
+            rngs={'sampling': jax.random.PRNGKey(3),
+                  'dropout': jax.random.PRNGKey(4)})
+        loss, tb = compute_training_loss(model, o)
+        return loss, tb
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)

@@ -69,7 +69,7 @@ def test_strided_conv_matches_dense():
     k = 27
     w = rng.randn(k, 5, 6).astype(np.float32) * 0.1
 
-    out_st, nbr = rulebook.downsample_rulebook(st, 3, 2, 1, out_capacity=512)
+    out_st, nbr, inv = rulebook.downsample_rulebook(st, 3, 2, 1, out_capacity=512)
     out = np.asarray(sconv.sparse_conv_apply(st.features, nbr, jnp.asarray(w)))
 
     ref = _dense_conv3d(dense, w, (3, 3, 3), (2, 2, 2), (1, 1, 1))
@@ -93,7 +93,7 @@ def test_asymmetric_kernel_stride():
     st, dense = _random_sparse(rng, shape=(9, 6, 5), n=30, cap=40, c=4)
     w = rng.randn(3, 4, 8).astype(np.float32) * 0.2
 
-    out_st, nbr = rulebook.downsample_rulebook(
+    out_st, nbr, inv = rulebook.downsample_rulebook(
         st, (3, 1, 1), (2, 1, 1), (0, 0, 0), out_capacity=40)
     out = np.asarray(sconv.sparse_conv_apply(st.features, nbr, jnp.asarray(w)))
     ref = _dense_conv3d(dense, w, (3, 1, 1), (2, 1, 1), (0, 0, 0))
@@ -150,3 +150,40 @@ def test_gradients_flow_through_sparse_conv():
     gw, gf = jax.grad(loss_fn, argnums=(0, 1))(w, st.features)
     assert np.isfinite(np.asarray(gw)).all() and np.abs(np.asarray(gw)).sum() > 0
     assert np.isfinite(np.asarray(gf)).all()
+
+
+def test_custom_vjp_matches_autodiff():
+    """Scatter-free backward (inverse rulebook) must equal XLA autodiff."""
+    rng = np.random.RandomState(7)
+    st, _ = _random_sparse(rng, shape=(9, 12, 10))
+    out_st, nbr, inv = rulebook.downsample_rulebook(st, 3, 2, 1, out_capacity=128)
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
+
+    def loss_auto(w_, f_):
+        return jnp.sum(sconv.sparse_conv_apply(f_, nbr, w_) ** 2)
+
+    def loss_custom(w_, f_):
+        return jnp.sum(sconv.sparse_conv_apply(f_, nbr, w_, inv_idx=inv) ** 2)
+
+    ga = jax.grad(loss_auto, (0, 1))(w, st.features)
+    gc = jax.grad(loss_custom, (0, 1))(w, st.features)
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+    # subm path: mirror-tap inverse
+    nbr_s = rulebook.subm_rulebook(st, 3)
+    inv_s = jnp.flip(nbr_s, axis=0)
+    w2 = jnp.asarray(rng.randn(27, 5, 5).astype(np.float32) * 0.1)
+
+    def l_a(w_, f_):
+        return jnp.sum(sconv.sparse_conv_apply(f_, nbr_s, w_) ** 2)
+
+    def l_c(w_, f_):
+        return jnp.sum(sconv.sparse_conv_apply(f_, nbr_s, w_, inv_idx=inv_s) ** 2)
+
+    ga = jax.grad(l_a, (0, 1))(w2, st.features)
+    gc = jax.grad(l_c, (0, 1))(w2, st.features)
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
