@@ -11,6 +11,7 @@ Layout: NHWC. Offsets/masks are produced by a regular conv; we define the
 channel layout as [dy (G*K), dx (G*K), mask (G*K)] — self-consistent since
 the offset conv is zero-initialized and learned end-to-end.
 """
+import functools
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bilinear_sample(x_grouped, sy, sx, h, w):
+def _bilinear_sample_impl(x_grouped, sy, sx, h, w):
     """Sample x at fractional locations with zero padding outside.
 
     Args:
@@ -79,14 +80,77 @@ def _bilinear_sample(x_grouped, sy, sx, h, w):
     def corner1(p):
         return jnp.where(shift_lo, p[..., 0:1, :], p[..., 1:2, :])[..., 0, :]
 
-    w00 = (1 - wy1) * (1 - wx1) * wmask(y0i, x0i).astype(sy.dtype)
-    w01 = (1 - wy1) * wx1 * wmask(y0i, x0i + 1).astype(sy.dtype)
-    w10 = wy1 * (1 - wx1) * wmask(y0i + 1, x0i).astype(sy.dtype)
-    w11 = wy1 * wx1 * wmask(y0i + 1, x0i + 1).astype(sy.dtype)
+    m00 = wmask(y0i, x0i).astype(sy.dtype)
+    m01 = wmask(y0i, x0i + 1).astype(sy.dtype)
+    m10 = wmask(y0i + 1, x0i).astype(sy.dtype)
+    m11 = wmask(y0i + 1, x0i + 1).astype(sy.dtype)
+    w00 = (1 - wy1) * (1 - wx1) * m00
+    w01 = (1 - wy1) * wx1 * m01
+    w10 = wy1 * (1 - wx1) * m10
+    w11 = wy1 * wx1 * m11
 
-    out = (corner0(p0) * w00[..., None] + corner1(p0) * w01[..., None]
-           + corner0(p1) * w10[..., None] + corner1(p1) * w11[..., None])
-    return out
+    corners = (corner0(p0), corner1(p0), corner0(p1), corner1(p1))
+    weights = (w00, w01, w10, w11)
+    masks = (m00, m01, m10, m11)
+    out = sum(v * wc[..., None] for v, wc in zip(corners, weights))
+    return out, (corners, weights, masks, (y0i, x0i, wy1, wx1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bilinear_sample(x_grouped, sy, sx, h, w):
+    """Custom VJP: XLA's transpose of the row-pair gather scatters
+    overlapping (2, Cg) slices, which the TPU executes ~300x slower than a
+    plain row scatter-add (measured 10 s vs 0.037 s per DCN block backward at
+    (4, 200, 176, 128)). The hand-written backward uses one full-row
+    ``.at[].add`` for d(x) and re-gathered corner values for d(sy)/d(sx)."""
+    return _bilinear_sample_impl(x_grouped, sy, sx, h, w)[0]
+
+
+def _bilinear_sample_fwd(x_grouped, sy, sx, h, w):
+    out, _ = _bilinear_sample_impl(x_grouped, sy, sx, h, w)
+    return out, (x_grouped, sy, sx)
+
+
+def _bilinear_sample_bwd(h, w, res, dout):
+    x_grouped, sy, sx = res
+    b, g, hw, cg = x_grouped.shape
+    s = sy.shape[-1]
+    _, (corners, weights, masks, (y0i, x0i, wy1, wx1)) = _bilinear_sample_impl(
+        x_grouped, sy, sx, h, w)
+    v00, v01, v10, v11 = corners
+    m00, m01, m10, m11 = masks
+
+    # rowwise <dout, corner> dots for the offset gradients
+    d00 = jnp.sum(dout * v00, axis=-1)
+    d01 = jnp.sum(dout * v01, axis=-1)
+    d10 = jnp.sum(dout * v10, axis=-1)
+    d11 = jnp.sum(dout * v11, axis=-1)
+    dsy = (-(1 - wx1) * m00 * d00 - wx1 * m01 * d01
+           + (1 - wx1) * m10 * d10 + wx1 * m11 * d11)
+    dsx = (-(1 - wy1) * m00 * d00 + (1 - wy1) * m01 * d01
+           - wy1 * m10 * d10 + wy1 * m11 * d11)
+
+    # d(x): scatter-add of full Cg rows (4 corners per sample); out-of-bounds
+    # corners route to a dropped sentinel row
+    def flat_idx(yi, xi):
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        return jnp.where(ok, yi * w + xi, hw)
+
+    idx = jnp.concatenate([flat_idx(y0i, x0i), flat_idx(y0i, x0i + 1),
+                           flat_idx(y0i + 1, x0i), flat_idx(y0i + 1, x0i + 1)],
+                          axis=-1).reshape(b * g, 4 * s)
+    w00, w01, w10, w11 = weights
+    upd = jnp.concatenate(
+        [dout * w00[..., None], dout * w01[..., None],
+         dout * w10[..., None], dout * w11[..., None]],
+        axis=2).reshape(b * g, 4 * s, cg)
+    dx = jnp.zeros((b * g, hw + 1, cg), dout.dtype)
+    dx = dx.at[jnp.arange(b * g)[:, None], idx].add(upd, mode='drop')
+    dx = dx[:, :hw].reshape(b, g, hw, cg).astype(x_grouped.dtype)
+    return dx, dsy.astype(sy.dtype), dsx.astype(sx.dtype)
+
+
+_bilinear_sample.defvjp(_bilinear_sample_fwd, _bilinear_sample_bwd)
 
 
 def modulated_deform_conv(x, offset_dy, offset_dx, mask, weights,

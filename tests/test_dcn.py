@@ -57,3 +57,26 @@ def test_mdeform_zero_offsets_equal_conv():
         x, np.asarray(wgt).reshape(3, 3, c, co), (1, 1),
         [(1, 1), (1, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_custom_vjp_matches_autodiff():
+    """The row-scatter backward must equal autodiff through the impl."""
+    import jax
+    import jax.numpy as jnp
+    from fv2p_tpu.ops import dcn
+    rng = np.random.RandomState(0)
+    b, g, h, w, cg, s = 2, 2, 7, 9, 5, 40
+    x = jnp.asarray(rng.randn(b, g, h * w, cg).astype(np.float32))
+    sy = jnp.asarray((rng.rand(b, g, s) * 10 - 1.5).astype(np.float32))
+    sx = jnp.asarray((rng.rand(b, g, s) * 12 - 1.5).astype(np.float32))
+
+    f_custom = lambda x_, a, c: jnp.sum(dcn._bilinear_sample(x_, a, c, h, w) ** 2)
+    f_auto = lambda x_, a, c: jnp.sum(
+        dcn._bilinear_sample_impl(x_, a, c, h, w)[0] ** 2)
+    np.testing.assert_allclose(float(f_custom(x, sy, sx)),
+                               float(f_auto(x, sy, sx)), rtol=1e-6)
+    gc = jax.grad(f_custom, (0, 1, 2))(x, sy, sx)
+    ga = jax.grad(f_auto, (0, 1, 2))(x, sy, sx)
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
