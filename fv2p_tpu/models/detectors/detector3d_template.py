@@ -18,6 +18,7 @@ from ..backbones_2d.map_to_bev.height_compression import HeightCompression
 from ..backbones_2d.map_to_bev.pointpillar_scatter import PointPillarScatter
 from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.spconv_unet import UNetV2
 from ..backbones_3d.pfe.residual_v2p_decoder import ResidualVoxelToPointDecoder
 from ..backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
@@ -26,8 +27,11 @@ from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, genera
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
 from ..dense_heads.point_head_box import PointHeadBox, point_head_box_loss
 from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
+from ..dense_heads.point_intra_part_head import (PointIntraPartOffsetHead,
+                                                 point_intra_part_head_loss)
 from ..roi_heads.iouguided_roi_head import IoUGuidedRoIHead, roi_head_loss
 from ..roi_heads.pointrcnn_head import PointRCNNHead, pointrcnn_head_loss
+from ..roi_heads.partA2_head import PartA2FCHead, parta2_head_loss
 from ..roi_heads.pvrcnn_head import PVRCNNHead, pvrcnn_head_loss
 from ..roi_heads.voxelrcnn_head import VoxelRCNNHead, voxelrcnn_head_loss
 
@@ -37,7 +41,8 @@ MODULE_TOPOLOGY = ['vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
 
 VFE_REGISTRY = {'MeanVFE': MeanVFE, 'PillarVFE': PillarVFE}
 BACKBONE_3D_REGISTRY = {'VoxelResBackBone8x': VoxelResBackBone8x,
-                        'VoxelBackBone8x': VoxelBackBone8x}
+                        'VoxelBackBone8x': VoxelBackBone8x,
+                        'UNetV2': UNetV2}
 MAP_TO_BEV_REGISTRY = {'HeightCompression': HeightCompression,
                        'PointPillarScatter': PointPillarScatter}
 BACKBONE_2D_REGISTRY = {'BaseBEVBackbone': BaseBEVBackbone,
@@ -76,12 +81,17 @@ class Detector3DTemplate(nn.Module):
                 model_cfg=StaticConfig(cfg),
                 input_channels=self.dataset_meta['num_point_features'],
                 name='backbone_3d')
+        kw = {}
+        if cfg.NAME == 'UNetV2':
+            kw = dict(voxel_size=tuple(self.dataset_meta['voxel_size']),
+                      point_cloud_range=tuple(
+                          self.dataset_meta['point_cloud_range']))
         return BACKBONE_3D_REGISTRY[cfg.NAME](
             model_cfg=StaticConfig(cfg),
             input_channels=self.dataset_meta['num_point_features'],
             grid_size=tuple(self.dataset_meta['grid_size']),
             voxel_capacity=int(self.dataset_meta['voxel_capacity']),
-            compute_dtype=self.compute_dtype, name='backbone_3d')
+            compute_dtype=self.compute_dtype, name='backbone_3d', **kw)
 
     def _build_map_to_bev(self):
         cfg = self.model_cfg.get('MAP_TO_BEV')
@@ -154,6 +164,10 @@ class Detector3DTemplate(nn.Module):
             in_ch = int(self.model_cfg.BACKBONE_3D.FP_MLPS[0][-1])
             return PointHeadBox(model_cfg=StaticConfig(cfg), input_channels=in_ch,
                                 num_class=self.num_class, name='point_head')
+        if cfg.NAME == 'PointIntraPartOffsetHead':
+            return PointIntraPartOffsetHead(
+                model_cfg=StaticConfig(cfg), input_channels=16,
+                num_class=self.num_class, name='point_head')
         if 'POST_PFE' in self.model_cfg:
             in_ch = int(self.model_cfg.POST_PFE.OUT_BLOCK.OUT_CHANNELS)
         else:
@@ -165,6 +179,13 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg.get('ROI_HEAD')
         if cfg is None:
             return None
+        if cfg.NAME == 'PartA2FCHead':
+            return PartA2FCHead(
+                model_cfg=StaticConfig(cfg), input_channels=16,
+                num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                voxel_size=tuple(self.dataset_meta['voxel_size']),
+                name='roi_head')
         if cfg.NAME == 'VoxelRCNNHead':
             return VoxelRCNNHead(
                 model_cfg=StaticConfig(cfg), input_channels=0,
@@ -370,10 +391,23 @@ class FromVoxelToPoint(Detector3DTemplate):
         return batch_dict
 
 
+class PartA2Net(Detector3DTemplate):
+    """Part-aware + part-aggregation two-stage detector (reference
+    ``pcdet/models/detectors/PartA2_net.py``)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, *, train: bool = False):
+        for module in self.build_module_list():
+            batch_dict = module(batch_dict, train=train)
+        if not train:
+            batch_dict.update(self.post_processing(batch_dict))
+        return batch_dict
+
+
 DETECTOR_REGISTRY = {'MGAF3DSSD': MGAF3DSSD, 'FromVoxelToPoint': FromVoxelToPoint,
                      'SECONDNet': SECONDNet, 'PointPillar': PointPillar,
                      'PVRCNN': PVRCNN, 'PointRCNN': PointRCNN,
-                     'VoxelRCNN': VoxelRCNN}
+                     'VoxelRCNN': VoxelRCNN, 'PartA2Net': PartA2Net}
 
 
 def compute_training_loss(model, batch_dict):
@@ -433,6 +467,24 @@ def compute_training_loss(model, batch_dict):
         point_loss, tb_p = point_head_loss(
             StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
         rcnn_loss, tb_r = pvrcnn_head_loss(
+            StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
+        tb.update(tb_p)
+        tb.update(tb_r)
+        loss = rpn_loss + point_loss + rcnn_loss
+        tb['loss'] = loss
+        return loss, tb
+    if isinstance(model, PartA2Net):
+        cfg = model.model_cfg
+        anchors = generate_anchors(
+            cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+            tuple(model.dataset_meta['grid_size']),
+            tuple(model.dataset_meta['point_cloud_range']))
+        rpn_loss, tb = anchor_head_loss(
+            StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+            jnp.asarray(anchors.reshape(-1, 7)), model.num_class)
+        point_loss, tb_p = point_intra_part_head_loss(
+            StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        rcnn_loss, tb_r = parta2_head_loss(
             StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
         tb.update(tb_p)
         tb.update(tb_r)

@@ -130,6 +130,38 @@ class SparseConv3d(nn.Module):
         return out_st.replace(features=feats)
 
 
+class SparseInverseConv3d(nn.Module):
+    """Inverse (transposed) sparse conv: upsamples from the downsampled
+    level back onto the source level's voxel set (reference
+    ``spconv.SparseInverseConv3d`` with a shared ``indice_key`` — the
+    forward rulebook reused with in/out roles swapped,
+    ``spconv/functional.py:60-102`` inverse=True path).
+
+    With our table design this is literally the strided conv with the two
+    tables swapped: ``inv_table`` (K, N_src_cap), built for the scatter-free
+    backward of the downsample, IS the forward gather table of the inverse
+    conv, and the downsample's ``nbr_idx`` is its backward table."""
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    use_bias: bool = False
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, down_st: SparseTensor, out_st: SparseTensor,
+                 inv_table, fwd_table=None):
+        k = int(np.prod(_as3(self.kernel_size)))
+        cin = down_st.num_channels
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k, cin, self.out_channels))
+        feats = sparse_conv_apply(down_st.features, inv_table, w,
+                                  self.compute_dtype, inv_idx=fwd_table)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+            feats = feats + b
+        feats = jnp.where(out_st.valid_mask()[:, None], feats, 0.0)
+        return out_st.replace(features=feats)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over valid voxel rows only (padding excluded from stats).
 
@@ -186,6 +218,16 @@ class SparseConvBNReLU(nn.Module):
             st = SparseConv3d(self.out_channels, self.kernel_size,
                               compute_dtype=self.compute_dtype, name='conv')(
                 st, out_st, nbr_idx, inv_idx)
+        elif self.conv_type == 'inverseconv':
+            if len(rulebook_args) == 3:
+                out_st, inv_table, fwd_table = rulebook_args
+            else:
+                out_st, inv_table = rulebook_args
+                fwd_table = None
+            st = SparseInverseConv3d(self.out_channels, self.kernel_size,
+                                     compute_dtype=self.compute_dtype,
+                                     name='conv')(st, out_st, inv_table,
+                                                  fwd_table)
         else:
             raise NotImplementedError(self.conv_type)
         feats = MaskedBatchNorm(name='bn')(st.features, st.valid_mask(),

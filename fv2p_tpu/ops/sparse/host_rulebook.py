@@ -31,7 +31,8 @@ def backbone_spec(backbone_name, grid_size, voxel_capacity):
     grid_size: (nx, ny, nz) of the voxel grid (sparse z = nz + 1).
     Capacities follow ``spconv_backbone.level_capacities`` (per-sample).
     """
-    assert backbone_name in ('VoxelResBackBone8x', 'VoxelBackBone8x'), backbone_name
+    assert backbone_name in ('VoxelResBackBone8x', 'VoxelBackBone8x',
+                             'UNetV2'), backbone_name
     nx, ny, nz = grid_size
     c = voxel_capacity
     caps = {'x_conv1': c, 'x_conv2': c, 'x_conv3': c // 2, 'x_conv4': c // 4,
