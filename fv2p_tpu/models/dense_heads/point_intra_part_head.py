@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import pointops
-from ...utils import common_utils
+from ...utils import box_coder_utils, common_utils, loss_utils
+from .point_head_box import assign_point_box_targets
 from .point_head_simple import assign_point_targets
 
 _BN = dict(momentum=0.99, epsilon=1e-3)
@@ -59,8 +60,22 @@ def point_intra_part_head_loss(model_cfg, ret):
     loss_part = jnp.sum(jnp.sum(bce, axis=-1) * pos.astype(jnp.float32))
     loss_part = loss_part / (3.0 * normalizer) * float(w['point_part_weight'])
 
-    return loss_cls + loss_part, {'point_loss_cls': loss_cls,
-                                  'point_loss_part': loss_part}
+    total = loss_cls + loss_part
+    tb = {'point_loss_cls': loss_cls, 'point_loss_part': loss_part}
+    if 'point_box_preds' in ret:
+        box_preds = ret['point_box_preds'].reshape(
+            -1, ret['point_box_preds'].shape[-1])
+        box_labels = ret['point_box_labels'].reshape(-1, box_preds.shape[-1])
+        fg = pos.reshape(-1).astype(jnp.float32)
+        code_w = jnp.asarray(w['code_weights'], jnp.float32) \
+            if 'code_weights' in w else 1.0
+        l1 = loss_utils.smooth_l1(box_preds - box_labels, beta=1.0 / 9.0)
+        l1 = l1 * code_w
+        loss_box = jnp.sum(l1 * (fg / normalizer)[:, None]) \
+            * float(w.get('point_box_weight', 1.0))
+        total = total + loss_box
+        tb['point_loss_box'] = loss_box
+    return total, tb
 
 
 class PointIntraPartOffsetHead(nn.Module):
@@ -87,6 +102,16 @@ class PointIntraPartOffsetHead(nn.Module):
         cls_logits = fc_stack(x, cfg.CLS_FC, n_cls, 'cls').reshape(b, k, n_cls)
         part_preds = fc_stack(x, cfg.PART_FC, 3, 'part').reshape(b, k, 3)
 
+        # optional per-point box branch (PartA2-free, reference
+        # point_intra_part_head.py:26-37,105-111)
+        coder = None
+        if cfg.TARGET_CONFIG.get('BOX_CODER', None) is not None:
+            tc = cfg.TARGET_CONFIG
+            coder = getattr(box_coder_utils, tc.BOX_CODER)(
+                **dict(tc.get('BOX_CODER_CONFIG', {})))
+            box_preds = fc_stack(x, cfg.REG_FC, coder.code_size,
+                                 'box').reshape(b, k, -1)
+
         batch_dict['point_cls_scores'] = jnp.max(
             jax.nn.sigmoid(cls_logits), axis=-1)
         batch_dict['point_part_offset'] = jax.nn.sigmoid(part_preds)
@@ -99,10 +124,24 @@ class PointIntraPartOffsetHead(nn.Module):
                 labels = jnp.where(batch_dict['point_valid'], labels, -1)
             part_labels = assign_part_targets(batch_dict['point_coords'],
                                               batch_dict['gt_boxes'])
-            batch_dict['point_head_ret'] = {
+            ret = {
                 'point_cls_preds': cls_logits,
                 'point_cls_labels': labels,
                 'point_part_preds': part_preds,
                 'point_part_labels': part_labels,
             }
+            if coder is not None:
+                _, box_labels = assign_point_box_targets(
+                    batch_dict['point_coords'], batch_dict['gt_boxes'],
+                    tuple(cfg.TARGET_CONFIG.GT_EXTRA_WIDTH), n_cls, coder)
+                ret['point_box_preds'] = box_preds
+                ret['point_box_labels'] = box_labels
+            batch_dict['point_head_ret'] = ret
+        if coder is not None:
+            pred_classes = jnp.argmax(cls_logits, axis=-1) + 1
+            decoded = coder.decode(box_preds, batch_dict['point_coords'],
+                                   pred_classes)
+            batch_dict['batch_cls_preds'] = cls_logits
+            batch_dict['batch_box_preds'] = decoded
+            batch_dict['cls_preds_normalized'] = False
         return batch_dict

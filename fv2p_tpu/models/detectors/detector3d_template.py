@@ -193,7 +193,10 @@ class Detector3DTemplate(nn.Module):
                 point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
                 voxel_size=tuple(self.dataset_meta['voxel_size']),
                 name='roi_head')
-        if cfg.NAME == 'PointRCNNHead':
+        if cfg.NAME in ('PointRCNNHead', 'PointRCNNIoUHead'):
+            # PointRCNNIoUHead (reference pointrcnniou_head.py) is the same
+            # architecture with online rcnn_iou soft cls labels, selected by
+            # TARGET_CONFIG.CLS_SCORE_TYPE == 'rcnn_iou'
             return PointRCNNHead(
                 model_cfg=StaticConfig(cfg), input_channels=0,
                 num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
@@ -447,8 +450,14 @@ def compute_training_loss(model, batch_dict):
         return loss, tb
     if isinstance(model, PointRCNN):
         cfg = model.model_cfg
-        point_loss, tb = point_head_box_loss(
-            StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        if cfg.POINT_HEAD.NAME == 'PointIntraPartOffsetHead':
+            # PartA2-free variant (reference PartA2_free.yaml: PointRCNN
+            # detector + part head with box branch)
+            point_loss, tb = point_intra_part_head_loss(
+                StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
+        else:
+            point_loss, tb = point_head_box_loss(
+                StaticConfig(cfg.POINT_HEAD), batch_dict['point_head_ret'])
         rcnn_loss, tb_r = pointrcnn_head_loss(
             StaticConfig(cfg.ROI_HEAD), batch_dict['roi_head_ret'])
         tb.update(tb_r)

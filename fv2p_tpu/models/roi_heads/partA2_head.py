@@ -84,7 +84,10 @@ class PartA2FCHead(nn.Module):
             'point_valid', jnp.ones(points.shape[:2], bool))
         scores = jax.lax.stop_gradient(
             batch_dict['point_cls_scores'])[..., None]      # (B, K, 1)
-        offsets = batch_dict['point_part_offset']
+        if cfg.get('DISABLE_PART', False):
+            offsets = points                    # PartA2-free (reference :124)
+        else:
+            offsets = batch_dict['point_part_offset']
         # zero part offsets of low-score points (reference :124-126)
         keep = scores >= float(cfg.SEG_MASK_SCORE_THRESH)
         part_feats = jnp.concatenate([jnp.where(keep, offsets, 0.0), scores],

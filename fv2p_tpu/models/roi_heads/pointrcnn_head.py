@@ -137,6 +137,37 @@ class PointRCNNHead(nn.Module):
             ret['rcnn_cls'] = rcnn_cls
             ret['rcnn_reg'] = rcnn_reg
             ret['rois_sampled'] = batch_dict['rois']
+            if cfg.TARGET_CONFIG.get('CLS_SCORE_TYPE', 'cls') == 'rcnn_iou':
+                # PointRCNNIoUHead path (reference pointrcnniou_head.py
+                # :176-243): decode the predicted refinements (no grad),
+                # compute class-matched 3D IoU vs gt, convert to soft
+                # interval labels replacing the sampled cls labels.
+                from ...utils import iou3d
+                coder = self._box_coder()
+                reg = jax.lax.stop_gradient(rcnn_reg).reshape(
+                    b, r, coder.code_size)
+                local_rois = batch_rois.at[..., 0:3].set(0.0)
+                dec = coder.decode(reg, local_rois)
+                flat = dec.reshape(b * r, 1, -1)
+                flat = common_utils.rotate_points_along_z(
+                    flat, batch_rois[..., 6].reshape(-1))
+                dec = flat.reshape(b, r, -1).at[..., 0:3].add(
+                    batch_rois[..., 0:3])
+                gt = batch_dict['gt_boxes']
+
+                def one(boxes, labels, g):
+                    gt_b, gt_l = g[:, :7], g[:, 7].astype(jnp.int32)
+                    ious = iou3d.boxes_iou3d(boxes, gt_b)
+                    same = ((labels[:, None] == gt_l[None, :])
+                            & (gt_l > 0)[None, :])
+                    return jnp.max(jnp.where(same, ious, 0.0), axis=1)
+
+                rcnn_ious = jax.vmap(one)(
+                    dec[..., :7], batch_dict['roi_labels'], gt)
+                fg_t = float(cfg.TARGET_CONFIG.CLS_FG_THRESH)
+                bg_t = float(cfg.TARGET_CONFIG.CLS_BG_THRESH)
+                soft = (rcnn_ious - bg_t) / (fg_t - bg_t)
+                ret['rcnn_cls_labels'] = jnp.clip(soft, 0.0, 1.0)
             batch_dict['roi_head_ret'] = ret
         else:
             coder = self._box_coder()

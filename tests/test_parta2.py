@@ -130,3 +130,57 @@ def test_parta2_inference_and_training():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+PARTA2_FREE_CFG = EasyDict({
+    'NAME': 'PointRCNN',
+    'VFE': {'NAME': 'MeanVFE'},
+    'BACKBONE_3D': {'NAME': 'UNetV2', 'RETURN_ENCODED_TENSOR': False},
+    'POINT_HEAD': {
+        'NAME': 'PointIntraPartOffsetHead', 'CLS_FC': [16], 'PART_FC': [16],
+        'REG_FC': [16], 'CLASS_AGNOSTIC': False,
+        'TARGET_CONFIG': {
+            'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+            'BOX_CODER': 'PointResidualCoder',
+            'BOX_CODER_CONFIG': {'use_mean_size': True,
+                                 'mean_size': [[3.9, 1.6, 1.56]]}},
+        'LOSS_CONFIG': {'LOSS_REG': 'WeightedSmoothL1Loss',
+                        'LOSS_WEIGHTS': {'point_cls_weight': 1.0,
+                                         'point_box_weight': 1.0,
+                                         'point_part_weight': 1.0,
+                                         'code_weights': [1.0] * 8}},
+    },
+    'ROI_HEAD': dict(PARTA2_CFG.ROI_HEAD, DISABLE_PART=True,
+                     SEG_MASK_SCORE_THRESH=0.0),
+    'POST_PROCESSING': _POST,
+})
+
+
+def test_parta2_free_inference_and_training():
+    batch, meta = make_batch(batch_size=2, n_cap=128)
+    model = build_network(PARTA2_FREE_CFG, num_class=1, class_names=['Car'],
+                          dataset_meta=meta)
+    rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
+            'dropout': jax.random.PRNGKey(2)}
+    variables = model.init(rngs, dict(batch), train=False)
+    out = model.apply(variables, dict(batch), train=False)
+    assert out['pred_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out['pred_boxes'])).all()
+
+    params = variables['params']
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {'params': params, **other}, dict(batch), train=True,
+            mutable=['batch_stats'],
+            rngs={'sampling': jax.random.PRNGKey(3),
+                  'dropout': jax.random.PRNGKey(4)})
+        loss, tb = compute_training_loss(model, o)
+        return loss, tb
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
+    assert 'point_loss_part' in tb and 'point_loss_box' in tb
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)

@@ -71,13 +71,20 @@ def main():
     data = proc.forward({'points': points, 'use_lead_xyz': True})
     data = proc.pad_to_fixed_shape(data)
 
-    batch = {
-        'voxels': jnp.asarray(data['voxels'][None]),
-        'voxel_coords': jnp.asarray(data['voxel_coords'][None]),
-        'voxel_num_points': jnp.asarray(data['voxel_num_points'][None]),
-        'voxel_valid': jnp.asarray(data['voxel_valid'][None]),
-    }
-    if cfg.DATA_CONFIG.get('KEEP_RAW_POINTS', False):
+    batch = {}
+    if 'voxels' in data:
+        batch.update(
+            voxels=jnp.asarray(data['voxels'][None]),
+            voxel_coords=jnp.asarray(data['voxel_coords'][None]),
+            voxel_num_points=jnp.asarray(data['voxel_num_points'][None]),
+            voxel_valid=jnp.asarray(data['voxel_valid'][None]))
+    else:
+        # point-only pipeline (PointRCNN family): fixed-size point batch
+        pts = data['points']
+        batch['points'] = jnp.asarray(pts[None, :, :])
+        batch['points_valid'] = jnp.asarray(
+            data.get('points_valid', np.ones(pts.shape[0], bool))[None])
+    if 'voxels' in data and cfg.DATA_CONFIG.get('KEEP_RAW_POINTS', False):
         p_cap = int(cfg.DATA_CONFIG.get('MAX_POINTS_PER_SCAN', 24000))
         pts = np.zeros((p_cap, points.shape[1]), np.float32)
         pv = np.zeros((p_cap,), bool)
