@@ -30,3 +30,26 @@ def dataset_meta_from_cfg(data_cfg, split='train'):
         'voxel_capacity': int(voxel_caps[split]),
         'max_points_per_voxel': max_ppv,
     }
+
+
+def build_dataset(data_cfg, class_names, root_path=None, training=True,
+                  logger=None):
+    """Dataset dispatch by DATA_CONFIG.DATASET (reference
+    ``pcdet/datasets/__init__.py:20-43`` __all__ registry)."""
+    name = data_cfg.get('DATASET', 'KittiDataset')
+    if name == 'KittiDataset':
+        from .kitti.kitti_dataset import KittiDataset
+        return KittiDataset(dataset_cfg=data_cfg, class_names=class_names,
+                            root_path=root_path, training=training,
+                            logger=logger)
+    if name == 'WaymoDataset':
+        from .waymo.waymo_dataset import WaymoDataset
+        return WaymoDataset(dataset_cfg=data_cfg, class_names=class_names,
+                            root_path=root_path, training=training,
+                            logger=logger)
+    if name == 'NuScenesDataset':
+        from .nuscenes.nuscenes_dataset import NuScenesDataset
+        return NuScenesDataset(dataset_cfg=data_cfg, class_names=class_names,
+                               root_path=root_path, training=training,
+                               logger=logger)
+    raise KeyError(f'unknown dataset: {name}')

@@ -1,0 +1,203 @@
+"""nuScenes dataset (reference
+``pcdet/datasets/nuscenes/nuscenes_dataset.py:13-299``): info-pkl loading,
+CBGS class-balanced resampling, multi-sweep lidar aggregation with per-point
+time lag, prediction dicts, and devkit-backed evaluation (import-gated — the
+nuscenes devkit is optional)."""
+import copy
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ..dataset import DatasetTemplate
+
+
+class NuScenesDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None):
+        root_path = (root_path if root_path is not None
+                     else Path(dataset_cfg.DATA_PATH)) / dataset_cfg.VERSION
+        super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
+                         training=training, root_path=root_path, logger=logger)
+        self.infos = []
+        self.include_nuscenes_data(self.mode)
+        if self.training and self.dataset_cfg.get('BALANCED_RESAMPLING', False):
+            self.infos = self.balanced_infos_resampling(self.infos)
+
+    def include_nuscenes_data(self, mode):
+        infos = []
+        for info_path in self.dataset_cfg.INFO_PATH[mode]:
+            p = self.root_path / info_path
+            if not p.exists():
+                continue
+            with open(p, 'rb') as f:
+                infos.extend(pickle.load(f))
+        self.infos.extend(infos)
+        if self.logger is not None:
+            self.logger.info('Total samples for NuScenes dataset: %d'
+                             % len(infos))
+
+    def balanced_infos_resampling(self, infos):
+        """CBGS class-balanced resampling (reference :39-75,
+        https://arxiv.org/abs/1908.09492): duplicate frames so every class
+        contributes ~1/C of the samples."""
+        if self.class_names is None:
+            return infos
+        cls_infos = {name: [] for name in self.class_names}
+        for info in infos:
+            for name in set(info['gt_names']):
+                if name in self.class_names:
+                    cls_infos[name].append(info)
+        duplicated = sum(len(v) for v in cls_infos.values())
+        if duplicated == 0:
+            return infos
+        cls_dist = {k: len(v) / duplicated for k, v in cls_infos.items()}
+        frac = 1.0 / len(self.class_names)
+        sampled = []
+        for cur, ratio in zip(cls_infos.values(),
+                              [frac / max(v, 1e-9) for v in cls_dist.values()]):
+            if len(cur) == 0:
+                continue
+            idx = np.random.choice(len(cur), int(len(cur) * ratio))
+            sampled += [cur[i] for i in idx]
+        if self.logger is not None:
+            self.logger.info('Total samples after balanced resampling: %d'
+                             % len(sampled))
+        return sampled
+
+    def get_sweep(self, sweep_info):
+        def remove_ego_points(points, center_radius=1.0):
+            mask = ~((np.abs(points[:, 0]) < center_radius)
+                     & (np.abs(points[:, 1]) < center_radius))
+            return points[mask]
+
+        lidar_path = self.root_path / sweep_info['lidar_path']
+        pts = np.fromfile(str(lidar_path), dtype=np.float32,
+                          count=-1).reshape([-1, 5])[:, :4]
+        pts = remove_ego_points(pts).T
+        if sweep_info['transform_matrix'] is not None:
+            n = pts.shape[1]
+            pts[:3, :] = sweep_info['transform_matrix'].dot(
+                np.vstack((pts[:3, :], np.ones(n))))[:3, :]
+        times = sweep_info['time_lag'] * np.ones((1, pts.shape[1]))
+        return pts.T, times.T
+
+    def get_lidar_with_sweeps(self, index, max_sweeps=1):
+        info = self.infos[index]
+        lidar_path = self.root_path / info['lidar_path']
+        points = np.fromfile(str(lidar_path), dtype=np.float32,
+                             count=-1).reshape([-1, 5])[:, :4]
+        sweep_points = [points]
+        sweep_times = [np.zeros((points.shape[0], 1))]
+        n_avail = len(info['sweeps'])
+        if n_avail > 0 and max_sweeps > 1:
+            for k in np.random.choice(n_avail, min(max_sweeps - 1, n_avail),
+                                      replace=False):
+                p, t = self.get_sweep(info['sweeps'][k])
+                sweep_points.append(p)
+                sweep_times.append(t)
+        points = np.concatenate(sweep_points, axis=0)
+        times = np.concatenate(sweep_times, axis=0).astype(points.dtype)
+        return np.concatenate((points, times), axis=1)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def __getitem__(self, index):
+        info = copy.deepcopy(self.infos[index])
+        points = self.get_lidar_with_sweeps(
+            index, max_sweeps=int(self.dataset_cfg.MAX_SWEEPS))
+        input_dict = {
+            'points': points,
+            'frame_id': Path(info['lidar_path']).stem,
+            'metadata': {'token': info['token']},
+        }
+        if 'gt_boxes' in info:
+            if self.dataset_cfg.get('FILTER_MIN_POINTS_IN_GT', False):
+                mask = (info['num_lidar_pts']
+                        > self.dataset_cfg.FILTER_MIN_POINTS_IN_GT - 1)
+            else:
+                mask = None
+            input_dict.update(
+                gt_names=info['gt_names'] if mask is None
+                else info['gt_names'][mask],
+                gt_boxes=info['gt_boxes'] if mask is None
+                else info['gt_boxes'][mask])
+
+        data_dict = self.prepare_data(data_dict=input_dict)
+        if self.dataset_cfg.get('SET_NAN_VELOCITY_TO_ZEROS', False) \
+                and 'gt_boxes' in data_dict:
+            gt = data_dict['gt_boxes']
+            gt[np.isnan(gt)] = 0
+            data_dict['gt_boxes'] = gt
+        if not self.dataset_cfg.get('PRED_VELOCITY', True) \
+                and 'gt_boxes' in data_dict:
+            data_dict['gt_boxes'] = \
+                data_dict['gt_boxes'][:, [0, 1, 2, 3, 4, 5, 6, -1]]
+        return data_dict
+
+    @staticmethod
+    def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        def get_template_prediction(n):
+            return {'name': np.zeros(n), 'score': np.zeros(n),
+                    'boxes_lidar': np.zeros([n, 7]), 'pred_labels': np.zeros(n)}
+
+        annos = []
+        for index, box_dict in enumerate(pred_dicts):
+            valid = np.asarray(box_dict['pred_valid'])
+            scores = np.asarray(box_dict['pred_scores'])[valid]
+            boxes = np.asarray(box_dict['pred_boxes'])[valid]
+            labels = np.asarray(box_dict['pred_labels'])[valid]
+            d = get_template_prediction(scores.shape[0])
+            if scores.shape[0] > 0:
+                d['name'] = np.array(class_names)[labels - 1]
+                d['score'] = scores
+                d['boxes_lidar'] = boxes
+                d['pred_labels'] = labels
+            d['frame_id'] = batch_dict['frame_id'][index]
+            if 'metadata' in batch_dict:
+                d['metadata'] = batch_dict['metadata'][index]
+            annos.append(d)
+        return annos
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Official nuScenes eval via the devkit (reference :198-252);
+        requires the optional ``nuscenes-devkit`` package."""
+        try:
+            from nuscenes.nuscenes import NuScenes  # noqa: F401
+        except ImportError:
+            return ('nuscenes-devkit not installed: skipping official '
+                    'evaluation (predictions were generated)'), {}
+        import json
+
+        from nuscenes.eval.detection.config import config_factory
+        from nuscenes.eval.detection.evaluate import NuScenesEval
+        from nuscenes.nuscenes import NuScenes
+
+        from . import nuscenes_utils
+        nusc = NuScenes(version=self.dataset_cfg.VERSION,
+                        dataroot=str(self.root_path), verbose=True)
+        nusc_annos = nuscenes_utils.transform_det_annos_to_nusc_annos(
+            det_annos, nusc)
+        nusc_annos['meta'] = {'use_camera': False, 'use_lidar': True,
+                              'use_radar': False, 'use_map': False,
+                              'use_external': False}
+        output_path = Path(kwargs['output_path'])
+        output_path.mkdir(exist_ok=True, parents=True)
+        res_path = str(output_path / 'results_nusc.json')
+        with open(res_path, 'w') as f:
+            json.dump(nusc_annos, f)
+        eval_set_map = {'v1.0-mini': 'mini_val', 'v1.0-trainval': 'val',
+                        'v1.0-test': 'test'}
+        eval_config = config_factory('detection_cvpr_2019')
+        nusc_eval = NuScenesEval(
+            nusc, config=eval_config, result_path=res_path,
+            eval_set=eval_set_map[self.dataset_cfg.VERSION],
+            output_dir=str(output_path), verbose=True)
+        nusc_eval.main(plot_examples=0, render_curves=False)
+        with open(output_path / 'metrics_summary.json', 'r') as f:
+            metrics = json.load(f)
+        result_str, result_dict = nuscenes_utils.format_nuscene_results(
+            metrics, self.class_names)
+        return result_str, result_dict

@@ -24,6 +24,9 @@ from ..backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.vfe.pillar_vfe import PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss, generate_anchors
+from ..dense_heads.anchor_head_multi import (AnchorHeadMulti,
+                                             anchor_head_multi_loss,
+                                             generate_anchors_multihead)
 from ..dense_heads.center_af_head import CenterAFHeadSingle, center_af_head_loss
 from ..dense_heads.point_head_box import PointHeadBox, point_head_box_loss
 from ..dense_heads.point_head_simple import PointHeadSimple, point_head_loss
@@ -125,6 +128,11 @@ class Detector3DTemplate(nn.Module):
                       compute_dtype=self.compute_dtype, name=name)
         if cfg.NAME == 'AnchorHeadSingle':
             return AnchorHeadSingle(
+                grid_size=tuple(self.dataset_meta['grid_size']),
+                point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
+                **common)
+        if cfg.NAME == 'AnchorHeadMulti':
+            return AnchorHeadMulti(
                 grid_size=tuple(self.dataset_meta['grid_size']),
                 point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
                 **common)
@@ -252,11 +260,40 @@ class Detector3DTemplate(nn.Module):
         labels = jnp.argmax(cls_probs, axis=-1) + 1
 
         score_thresh = float(pp.SCORE_THRESH)
-        nms_scores = jnp.where(scores >= score_thresh, scores, -jnp.inf)
         pre = int(min(nms_cfg.NMS_PRE_MAXSIZE, box_preds.shape[1]))
         post = int(nms_cfg.NMS_POST_MAXSIZE)
         thresh = float(nms_cfg.NMS_THRESH)
 
+        if nms_cfg.get('MULTI_CLASSES_NMS', False):
+            # per-class NMS (reference model_nms_utils.multi_classes_nms):
+            # one fixed-shape NMS lane per (sample, class), concatenated
+            b, n, c = cls_probs.shape
+            sc = jnp.where(cls_probs >= score_thresh, cls_probs, -jnp.inf)
+            sc = sc.transpose(0, 2, 1).reshape(b * c, n)
+            bx = jnp.broadcast_to(box_preds[:, None],
+                                  (b, c) + box_preds.shape[1:])
+            bx = bx.reshape(b * c, n, box_preds.shape[-1])
+            keep_idx, keep_valid = jax.vmap(
+                lambda bb, ss: iou3d.nms_rotated(
+                    bb[..., :7], ss, thresh, pre_max=pre, post_max=post))(
+                bx, sc)
+            fb = jnp.take_along_axis(bx, keep_idx[..., None], axis=1)
+            fs = jnp.take_along_axis(jnp.where(jnp.isfinite(sc), sc, 0.0),
+                                     keep_idx, axis=1)
+            fl = jnp.broadcast_to(
+                (jnp.arange(c, dtype=jnp.int32) + 1)[None, :, None],
+                (b, c, post)).reshape(b * c, post)
+            final_boxes = fb.reshape(b, c * post, -1)
+            final_scores = jnp.where(keep_valid, fs, 0.0).reshape(b, c * post)
+            final_labels = fl.reshape(b, c * post)
+            return {
+                'pred_boxes': final_boxes,
+                'pred_scores': final_scores,
+                'pred_labels': final_labels,
+                'pred_valid': keep_valid.reshape(b, c * post),
+            }
+
+        nms_scores = jnp.where(scores >= score_thresh, scores, -jnp.inf)
         keep_idx, keep_valid = jax.vmap(
             lambda bx, sc: iou3d.nms_rotated(bx, sc, thresh, pre_max=pre,
                                              post_max=post))(box_preds, nms_scores)
@@ -424,6 +461,16 @@ def compute_training_loss(model, batch_dict):
         return rpn_loss, tb
     if isinstance(model, SECONDNet):  # includes PointPillar
         cfg = model.model_cfg
+        if cfg.DENSE_HEAD.NAME == 'AnchorHeadMulti':
+            a_np, _, _, _ = generate_anchors_multihead(
+                cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
+                tuple(model.dataset_meta['grid_size']),
+                tuple(model.dataset_meta['point_cloud_range']))
+            rpn_loss, tb = anchor_head_multi_loss(
+                StaticConfig(cfg.DENSE_HEAD), batch_dict['anchor_head_ret'],
+                jnp.asarray(a_np), model.num_class)
+            tb['loss'] = rpn_loss
+            return rpn_loss, tb
         anchors = generate_anchors(
             cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG,
             tuple(model.dataset_meta['grid_size']),

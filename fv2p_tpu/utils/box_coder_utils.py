@@ -62,9 +62,9 @@ class ResidualCoder:
             rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
         else:
             rg = rt + ra
-        cgs = [box_encodings[..., i] + anchors[..., i]
-               for i in range(7 + int(self.encode_angle_by_sincos),
-                              anchors.shape[-1])]
+        s = int(self.encode_angle_by_sincos)
+        cgs = [box_encodings[..., i + s] + anchors[..., i]
+               for i in range(7, anchors.shape[-1])]
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], axis=-1)
 
 

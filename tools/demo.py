@@ -116,8 +116,9 @@ def main():
     print(f'detections: {int(valid.sum())}')
     for b, s, l in zip(boxes[valid], scores[valid], labels[valid]):
         name = cfg.CLASS_NAMES[int(l) - 1]
-        print('  %-10s score %.3f  box [% .2f % .2f % .2f | %.2f %.2f %.2f | % .2f]'
-              % (name, s, *b))
+        extra = ' vel [% .2f % .2f]' % tuple(b[7:9]) if b.shape[0] >= 9 else ''
+        print(('  %-10s score %.3f  box [% .2f % .2f % .2f | %.2f %.2f %.2f '
+               '| % .2f]' % (name, s, *b[:7])) + extra)
 
 
 if __name__ == '__main__':

@@ -40,7 +40,7 @@ def main():
     import orbax.checkpoint as ocp
 
     from fv2p_tpu.datasets import dataset_meta_from_cfg
-    from fv2p_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from fv2p_tpu.datasets import build_dataset
     from fv2p_tpu.models import build_network
     from fv2p_tpu.utils import common_utils
 
@@ -52,9 +52,9 @@ def main():
         eval_dir / ('log_eval_%s.txt'
                     % datetime.datetime.now().strftime('%Y%m%d-%H%M%S')))
 
-    test_set = KittiDataset(
-        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
-        root_path=REPO / 'data' / 'kitti', training=False, logger=logger)
+    test_set = build_dataset(
+        cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, training=False,
+        logger=logger)
     if cfg.MODEL.get('BACKBONE_3D') is not None:
         test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
     import torch.utils.data as torch_data

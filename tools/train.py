@@ -51,7 +51,7 @@ def main():
 
     from fv2p_tpu.config import log_config_to_file
     from fv2p_tpu.datasets import dataset_meta_from_cfg
-    from fv2p_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from fv2p_tpu.datasets import build_dataset
     from fv2p_tpu.models import build_network
     from fv2p_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
     from fv2p_tpu.train_utils.optimization import build_optimizer
@@ -74,9 +74,9 @@ def main():
     log_config_to_file(cfg, logger=logger)
 
     # ---- data
-    train_set = KittiDataset(
-        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
-        root_path=REPO / 'data' / 'kitti', training=True, logger=logger)
+    train_set = build_dataset(
+        cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, training=True,
+        logger=logger)
     if cfg.MODEL.get('BACKBONE_3D') is not None:
         train_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
     import torch.utils.data as torch_data
