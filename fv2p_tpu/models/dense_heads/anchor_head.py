@@ -108,6 +108,75 @@ def assign_targets_single(anchors_flat, anchor_cls, gt_boxes, gt_classes,
     return labels, reg_targets, reg_weights
 
 
+def atss_assign_targets_single(anchors_flat, gt_boxes, gt_classes, topk,
+                               box_coder, match_height=False):
+    """Adaptive Training Sample Selection (reference
+    ``target_assigner/atss_target_assigner.py:76-141``,
+    https://arxiv.org/abs/1912.02424), fixed-shape: per gt, take the top-k
+    center-closest anchors, threshold their IoU at mean+std, require the
+    anchor center inside the gt's BEV box, then give each anchor its
+    highest-IoU eligible gt (plus the per-gt best-IoU force match).
+
+    Args: anchors_flat (Na, 7); gt_boxes (M, 7); gt_classes (M,) (0 = pad).
+    Returns: labels (Na,), reg_targets (Na, code), reg_weights (Na,).
+    """
+    from ...utils import iou3d
+    na = anchors_flat.shape[0]
+    m = gt_boxes.shape[0]
+    gt_valid = gt_classes > 0
+
+    if match_height:
+        ious = iou3d.boxes_iou3d(anchors_flat[:, :7], gt_boxes[:, :7])
+    else:
+        ious = iou3d.boxes_iou_bev(anchors_flat[:, :7], gt_boxes[:, :7])
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)            # (Na, M)
+
+    dist = jnp.linalg.norm(
+        anchors_flat[:, None, 0:3] - gt_boxes[None, :, 0:3], axis=-1)
+    dist = jnp.where(gt_valid[None, :], dist, jnp.inf)
+    _, topk_idxs = jax.lax.top_k(-dist.T, topk)                # (M, K)
+
+    cand_ious = jnp.take_along_axis(ious.T, topk_idxs, axis=1)  # (M, K)
+    iou_mean = jnp.mean(cand_ious, axis=1)
+    iou_std = jnp.std(cand_ious, axis=1, ddof=1)
+    is_pos = cand_ious >= (iou_mean + iou_std + 1e-6)[:, None]
+
+    # candidate center inside gt BEV box (reference :104-112)
+    cand = anchors_flat[topk_idxs.reshape(-1)]                  # (M*K, 7)
+    gt_rep = jnp.repeat(gt_boxes, topk, axis=0)                 # (M*K, 7)
+    local = common_utils.rotate_points_along_z(
+        (cand[:, 0:3] - gt_rep[:, 0:3])[:, None, :], -gt_rep[:, 6])[:, 0, :2]
+    half = gt_rep[:, 3:5] / 2
+    in_gt = jnp.all((local <= half) & (local >= -half),
+                    axis=-1).reshape(m, topk)
+    is_pos = is_pos & in_gt & gt_valid[:, None]
+
+    # eligibility (Na, M): scatter the positive candidates (unique flat ids)
+    flat = topk_idxs * m + jnp.arange(m, dtype=topk_idxs.dtype)[:, None]
+    flat = jnp.where(is_pos, flat, na * m)
+    elig = jnp.zeros((na * m + 1,), bool).at[flat.reshape(-1)].set(
+        True, mode='drop', unique_indices=True)[:-1].reshape(na, m)
+
+    neg_inf = jnp.float32(-1e9)
+    ious_elig = jnp.where(elig, ious, neg_inf)
+    a2g_val = jnp.max(ious_elig, axis=1)
+    a2g_idx = jnp.argmax(ious_elig, axis=1)
+
+    # force-match each valid gt to its best-IoU anchor (reference :128-131)
+    best_anchor = jnp.argmax(ious, axis=0)                      # (M,)
+    rows = jnp.where(gt_valid, best_anchor, na)
+    a2g_idx = a2g_idx.at[rows].set(jnp.arange(m), mode='drop')
+    a2g_val = a2g_val.at[rows].set(
+        jnp.max(ious, axis=0), mode='drop')
+
+    labels = jnp.where(a2g_val > neg_inf / 2,
+                       gt_classes[a2g_idx], 0).astype(jnp.int32)
+    fg = labels > 0
+    targets = box_coder.encode(gt_boxes[a2g_idx], anchors_flat)
+    reg_targets = jnp.where(fg[:, None], targets, 0.0)
+    return labels, reg_targets, fg.astype(jnp.float32)
+
+
 class AnchorHeadSingle(nn.Module):
     model_cfg: Any
     input_channels: int
@@ -180,11 +249,22 @@ class AnchorHeadSingle(nn.Module):
         anchor_cls = jnp.tile(jnp.asarray(cls_ids, jnp.int32), ny * nx)
 
         coder = self._box_coder()
+        ta_cfg = cfg.TARGET_ASSIGNER_CONFIG
+        if ta_cfg.get('NAME', 'AxisAlignedTargetAssigner') \
+                == 'ATSSTargetAssigner':
+            topk = int(ta_cfg.get('TOPK', 9))
+            mh = bool(ta_cfg.get('MATCH_HEIGHT', False))
 
-        def single(gt):
-            return assign_targets_single(
-                anchors_flat, anchor_cls, gt[..., :7],
-                gt[..., 7].astype(jnp.int32), matched_t, unmatched_t, coder)
+            def single(gt):
+                return atss_assign_targets_single(
+                    anchors_flat, gt[..., :7], gt[..., 7].astype(jnp.int32),
+                    topk, coder, match_height=mh)
+        else:
+            def single(gt):
+                return assign_targets_single(
+                    anchors_flat, anchor_cls, gt[..., :7],
+                    gt[..., 7].astype(jnp.int32), matched_t, unmatched_t,
+                    coder)
 
         labels, reg_targets, reg_weights = jax.vmap(single)(gt_boxes_with_cls)
         return {'box_cls_labels': labels, 'box_reg_targets': reg_targets,

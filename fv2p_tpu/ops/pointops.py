@@ -111,6 +111,21 @@ def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
     return out.reshape(n_chunks * query_chunk, c)[:m]
 
 
+def _first_k_hits(hits, k):
+    """(M, N) bool -> (M, k) int32: indices of the first k True per row,
+    -1 where the row has fewer. Scatter-free — the previous rowwise-scatter
+    formulation serialized on TPU (colliding column indices); this uses a
+    vectorized searchsorted on the row cumsum instead."""
+    n = hits.shape[-1]
+    csum = jnp.cumsum(hits.astype(jnp.int32), axis=-1)          # (M, N)
+    targets = jnp.arange(1, k + 1, dtype=csum.dtype)
+    method = 'compare_all' if n * k <= (1 << 20) else 'scan_unrolled'
+    idx = jax.vmap(lambda c: jnp.searchsorted(
+        c, targets, side='left', method=method))(csum)          # (M, k)
+    valid = targets[None, :] <= csum[:, -1:]
+    return jnp.where(valid, idx.astype(jnp.int32), -1)
+
+
 def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
     """For each query, the first `nsample` source points within `radius`
     (reference ball_query_gpu.cu semantics: first-by-index, slot 0 backfills).
@@ -126,14 +141,7 @@ def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
     d2 = jnp.sum(jnp.square(new_xyz[:, None, :] - xyz[None, :, :]), axis=-1)
     in_ball = (d2 < radius * radius) & xyz_valid[None, :]     # (M, N)
 
-    rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1) - 1  # slot per hit
-    n = xyz.shape[0]
-    slot = jnp.where(in_ball & (rank < nsample), rank, nsample)
-    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], slot.shape)
-    m = new_xyz.shape[0]
-    idx = jnp.full((m, nsample + 1), -1, jnp.int32)
-    idx = _rowwise_scatter(idx, slot, src)[:, :nsample]
-
+    idx = _first_k_hits(in_ball, nsample)
     any_neighbor = idx[:, 0] >= 0
     # CUDA kernel backfills empty slots with the first found index
     first = jnp.maximum(idx[:, 0], 0)
@@ -144,13 +152,6 @@ def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
     zero = ~any_neighbor[:, None, None]
     return (jnp.where(zero, 0.0, grouped_xyz),
             jnp.where(zero, 0.0, grouped_feats), any_neighbor)
-
-
-def _rowwise_scatter(target, col_idx, values):
-    """target (M, S+1); scatter values (M, N) to [row, col_idx] (col S drops)."""
-    mrows = target.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(mrows)[:, None], col_idx.shape)
-    return target.at[rows, col_idx].set(values, mode='drop')
 
 
 def roipoint_pool3d(points, point_feats, points_valid, rois, num_sampled,
@@ -172,13 +173,7 @@ def roipoint_pool3d(points, point_feats, points_valid, rois, num_sampled,
     inside = iou3d.points_in_rotated_boxes(points, enlarged)   # (R, N)
     inside = inside & points_valid[None, :]
 
-    rank = jnp.cumsum(inside.astype(jnp.int32), axis=-1) - 1
-    slot = jnp.where(inside & (rank < num_sampled), rank, num_sampled)
-    src = jnp.broadcast_to(jnp.arange(points.shape[0], dtype=jnp.int32)[None, :],
-                           slot.shape)
-    r = rois.shape[0]
-    idx = jnp.full((r, num_sampled + 1), -1, jnp.int32)
-    idx = _rowwise_scatter(idx, slot, src)[:, :num_sampled]
+    idx = _first_k_hits(inside, num_sampled)
 
     cnt = jnp.sum(inside.astype(jnp.int32), axis=-1)           # (R,)
     empty = cnt == 0

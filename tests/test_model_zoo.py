@@ -348,3 +348,33 @@ def test_voxelrcnn_inference_and_training():
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_atss_assigner_second():
+    """SECOND with ATSSTargetAssigner (reference atss_target_assigner.py)."""
+    import copy
+    cfg = EasyDict(copy.deepcopy(dict(SECOND_CFG)))
+    cfg.DENSE_HEAD = dict(copy.deepcopy(dict(_HEAD)))
+    cfg.DENSE_HEAD['TARGET_ASSIGNER_CONFIG'] = {
+        'NAME': 'ATSSTargetAssigner', 'TOPK': 9, 'MATCH_HEIGHT': False,
+        'BOX_CODER': 'ResidualCoder'}
+    batch, meta = make_batch(batch_size=2, n_cap=128)
+    model = build_network(cfg, num_class=1, class_names=['Car'],
+                          dataset_meta=meta)
+    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {'params': params, **{k: v for k, v in variables.items()
+                                  if k != 'params'}},
+            dict(batch), train=True, mutable=['batch_stats'])
+        return compute_training_loss(model, o)
+
+    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables['params'])
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
+    # the two planted gt cars must produce positive anchors (force match)
+    o, _ = model.apply(variables, dict(batch), train=True,
+                       mutable=['batch_stats'])
+    labels = np.asarray(o['anchor_head_ret']['box_cls_labels'])
+    assert (labels > 0).sum() >= 2 * labels.shape[0]
