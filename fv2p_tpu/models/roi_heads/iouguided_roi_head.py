@@ -25,7 +25,12 @@ _BN = dict(momentum=0.99, epsilon=1e-3)
 # ---------------------------------------------------------------------------
 
 def proposal_layer(batch_box_preds, batch_cls_preds, nms_cfg):
-    """NMS the dense predictions into fixed (B, POST) RoIs."""
+    """NMS the dense predictions into fixed (B, POST) RoIs.
+
+    Proposals are constants w.r.t. the RPN (reference proposal_layer runs
+    under @torch.no_grad, roi_withiou_head_template.py:45)."""
+    batch_box_preds = jax.lax.stop_gradient(batch_box_preds)
+    batch_cls_preds = jax.lax.stop_gradient(batch_cls_preds)
     pre = int(min(nms_cfg.NMS_PRE_MAXSIZE, batch_box_preds.shape[1]))
     post = int(nms_cfg.NMS_POST_MAXSIZE)
     thresh = float(nms_cfg.NMS_THRESH)

@@ -30,10 +30,16 @@ def make_train_step(model, axis_name=None):
     relies on DDP allreduce, ``tools/train.py:166``)."""
 
     def train_step(state, batch):
+        # per-step deterministic rngs for roi sampling / dropout (two-stage
+        # heads; reference seeds torch's global generator per worker)
+        base = jax.random.fold_in(jax.random.PRNGKey(13), state.step)
+        rngs = {'sampling': jax.random.fold_in(base, 0),
+                'dropout': jax.random.fold_in(base, 1)}
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                dict(batch), train=True, mutable=['batch_stats'])
+                dict(batch), train=True, mutable=['batch_stats'], rngs=rngs)
             loss, tb = compute_training_loss(model, out)
             return loss, (tb, mutated['batch_stats'])
 

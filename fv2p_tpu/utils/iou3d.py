@@ -222,6 +222,11 @@ def nms_rotated(boxes, scores, thresh, pre_max=4096, post_max=500, row_tile=256)
         keep_idx: (post_max,) indices into the input arrays (ordered by score),
         keep_valid: (post_max,) bool mask of surviving entries.
     """
+    # NMS is pure index selection — never differentiable (the reference
+    # runs it under no_grad). stop_gradient also keeps autodiff away from
+    # the Pallas overlap kernel, which has no VJP.
+    boxes = jax.lax.stop_gradient(boxes)
+    scores = jax.lax.stop_gradient(scores)
     n = min(pre_max, boxes.shape[0])
     top_scores, order = jax.lax.top_k(scores, n)
     boxes_s = boxes[order]
