@@ -29,6 +29,8 @@ def parse_config():
                         help='set extra config keys if needed')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
+    parser.add_argument('--dist', action='store_true', default=False,
+                        help='multi-host: jax.distributed.initialize()')
     parser.add_argument('--num_devices', type=int, default=None,
                         help='data-parallel devices (default: all)')
     args = parser.parse_args()
@@ -57,6 +59,11 @@ def main():
     from fv2p_tpu.train_utils.optimization import build_optimizer
     from fv2p_tpu.train_utils.train_state import create_train_state, make_train_step
     from fv2p_tpu.utils import common_utils
+
+    if args.dist:
+        # multi-host data parallelism over DCN/ICI (north-star scale-out;
+        # replaces the reference's torch.distributed.launch + NCCL DDP)
+        jax.distributed.initialize()
 
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
@@ -133,13 +140,32 @@ def main():
         step_fn = jax.jit(make_train_step(model))
         prep = lambda b: b
 
+    def prefetch(iterable, depth=2):
+        """Double-buffered host->HBM prefetch (north-star requirement: the
+        sparse backbone never stalls on input transfers). Device puts for
+        the next `depth` batches are issued while the current step runs."""
+        import collections
+        buf = collections.deque()
+        it_ = iter(iterable)
+        for _ in range(depth):
+            try:
+                buf.append(prep(to_jnp(next(it_))))
+            except StopIteration:
+                break
+        while buf:
+            out = buf.popleft()
+            try:
+                buf.append(prep(to_jnp(next(it_))))
+            except StopIteration:
+                pass
+            yield out
+
     logger.info(f'start training: {epochs} epochs x {steps_per_epoch} steps, '
                 f'{len(devices)} device(s)')
     metrics_file = open(output_dir / 'metrics.jsonl', 'a')
     it = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, epochs):
-        for batch_np in loader:
-            batch = prep(to_jnp(batch_np))
+        for batch in prefetch(loader):
             state, metrics = step_fn(state, batch)
             it += 1
             if it % 50 == 0:
