@@ -257,3 +257,29 @@ class SparseBasicBlock(nn.Module):
                                         use_running_average=not train)
         f = nn.relu(f + identity)
         return out.replace(features=jnp.where(out.valid_mask()[:, None], f, 0.0))
+
+
+def sparse_maxpool(features, nbr_idx):
+    """Sparse max pooling over a rulebook (reference ``indice_maxpool``,
+    ``spconv/maxpool_cuda.cu`` + ``pool.py SparseMaxPool3d``): for output o,
+    max over the kernel taps' gathered inputs; cells with no contributing
+    input yield 0.
+
+    Args: features (N_in_cap, C); nbr_idx (K, N_out) with sentinel N_in_cap.
+    Returns: (N_out, C).
+    """
+    neg = jnp.full((1, features.shape[1]), -jnp.inf, features.dtype)
+    pad = jnp.concatenate([features, neg], axis=0)
+    gathered = pad[nbr_idx]                                  # (K, N_out, C)
+    out = jnp.max(gathered, axis=0)
+    return jnp.where(jnp.isneginf(out), 0.0, out)
+
+
+def sparse_group(features, nbr_idx):
+    """Group features by rulebook without convolving (reference
+    ``indice_group`` / ``SparseGroup3d``, ``include/spconv/group_ops.h``):
+    returns the (K, N_out, C) neighborhood tensor with zeros at missing
+    taps."""
+    pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    return pad[nbr_idx]

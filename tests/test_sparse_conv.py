@@ -187,3 +187,33 @@ def test_custom_vjp_matches_autodiff():
     for a, c in zip(ga, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_maxpool_matches_dense():
+    rng = np.random.RandomState(5)
+    st, dense = _random_sparse(rng, shape=(9, 12, 10))
+    out_st, nbr, inv = rulebook.downsample_rulebook(st, 3, 2, 1,
+                                                    out_capacity=512)
+    out = np.asarray(sconv.sparse_maxpool(st.features, nbr))
+    # dense oracle: max-pool with -inf empty cells, then zero empties
+    d = np.where(np.abs(dense).sum(-1, keepdims=True) > 0, dense, -np.inf)
+    ref = jax.lax.reduce_window(
+        jnp.asarray(d), -np.inf, jax.lax.max, (1, 3, 3, 3, 1),
+        (1, 2, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    ref = np.asarray(jnp.where(jnp.isneginf(ref), 0.0, ref))
+    out_coords = np.asarray(out_st.coords())
+    for i in np.where(np.asarray(out_st.valid_mask()))[0]:
+        b, z, y, x = out_coords[i]
+        np.testing.assert_allclose(out[i], ref[b, z, y, x], rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_sparse_group_shapes():
+    rng = np.random.RandomState(6)
+    st, _ = _random_sparse(rng, n=20, cap=32)
+    nbr = rulebook.subm_rulebook(st, 3)
+    g = np.asarray(sconv.sparse_group(st.features, nbr))
+    assert g.shape == (27, 32, 5)
+    # center tap (k=13) must equal the features themselves on valid rows
+    valid = np.asarray(st.valid_mask())
+    np.testing.assert_allclose(g[13][valid], np.asarray(st.features)[valid])
