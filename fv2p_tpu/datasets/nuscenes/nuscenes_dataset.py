@@ -161,6 +161,49 @@ class NuScenesDataset(DatasetTemplate):
             annos.append(d)
         return annos
 
+    def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
+        """Crop per-object multi-sweep point clouds into the sampler database
+        (reference :254-297); points-in-box test is host numpy instead of the
+        reference's points_in_boxes_gpu CUDA kernel."""
+        from ...utils import box_utils
+        database_save_path = self.root_path \
+            / f'gt_database_{max_sweeps}sweeps_withvelo'
+        db_info_save_path = self.root_path \
+            / f'nuscenes_dbinfos_{max_sweeps}sweeps_withvelo.pkl'
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+
+        for idx in range(len(self.infos)):
+            info = self.infos[idx]
+            points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
+            gt_boxes = info['gt_boxes']
+            gt_names = info['gt_names']
+            if gt_boxes.shape[0] == 0:
+                continue
+            in_bev = box_utils.in_box_bev_np(points[:, :2], gt_boxes[:, :7])
+            dz = np.abs(points[None, :, 2] - gt_boxes[:, None, 2]) \
+                <= gt_boxes[:, None, 5] / 2
+            point_indices = in_bev & dz
+
+            for i in range(gt_boxes.shape[0]):
+                filename = '%s_%s_%d.bin' % (idx, gt_names[i], i)
+                filepath = database_save_path / filename
+                gt_points = points[point_indices[i] > 0]
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                with open(filepath, 'w') as f:
+                    gt_points.tofile(f)
+                if (used_classes is None) or gt_names[i] in used_classes:
+                    db_path = str(filepath.relative_to(self.root_path))
+                    db_info = {'name': gt_names[i], 'path': db_path,
+                               'image_idx': idx, 'gt_idx': i,
+                               'box3d_lidar': gt_boxes[i],
+                               'num_points_in_gt': gt_points.shape[0]}
+                    all_db_infos.setdefault(gt_names[i], []).append(db_info)
+        for k, v in all_db_infos.items():
+            print('Database %s: %d' % (k, len(v)))
+        with open(db_info_save_path, 'wb') as f:
+            pickle.dump(all_db_infos, f)
+
     def evaluation(self, det_annos, class_names, **kwargs):
         """Official nuScenes eval via the devkit (reference :198-252);
         requires the optional ``nuscenes-devkit`` package."""
@@ -201,3 +244,81 @@ class NuScenesDataset(DatasetTemplate):
         result_str, result_dict = nuscenes_utils.format_nuscene_results(
             metrics, self.class_names)
         return result_str, result_dict
+
+
+def create_nuscenes_info(version, data_path, save_path, max_sweeps=10):
+    """Build split info pkls with the official scene splits (reference
+    nuscenes_dataset.py:299-344)."""
+    from nuscenes.nuscenes import NuScenes
+    from nuscenes.utils import splits
+
+    from . import nuscenes_utils
+    data_path = data_path / version
+    save_path = save_path / version
+    assert version in ['v1.0-trainval', 'v1.0-test', 'v1.0-mini']
+    if version == 'v1.0-trainval':
+        train_scenes, val_scenes = splits.train, splits.val
+    elif version == 'v1.0-test':
+        train_scenes, val_scenes = splits.test, []
+    else:
+        train_scenes, val_scenes = splits.mini_train, splits.mini_val
+
+    nusc = NuScenes(version=version, dataroot=data_path, verbose=True)
+    available_scenes = nuscenes_utils.get_available_scenes(nusc)
+    names = [s['name'] for s in available_scenes]
+    train_scenes = set(available_scenes[names.index(s)]['token']
+                       for s in train_scenes if s in names)
+    val_scenes = set(available_scenes[names.index(s)]['token']
+                     for s in val_scenes if s in names)
+    print('%s: train scene(%d), val scene(%d)'
+          % (version, len(train_scenes), len(val_scenes)))
+
+    train_infos, val_infos = nuscenes_utils.fill_trainval_infos(
+        data_path=data_path, nusc=nusc, train_scenes=train_scenes,
+        val_scenes=val_scenes, test='test' in version, max_sweeps=max_sweeps)
+
+    if version == 'v1.0-test':
+        print('test sample: %d' % len(train_infos))
+        with open(save_path / f'nuscenes_infos_{max_sweeps}sweeps_test.pkl',
+                  'wb') as f:
+            pickle.dump(train_infos, f)
+    else:
+        print('train sample: %d, val sample: %d'
+              % (len(train_infos), len(val_infos)))
+        with open(save_path / f'nuscenes_infos_{max_sweeps}sweeps_train.pkl',
+                  'wb') as f:
+            pickle.dump(train_infos, f)
+        with open(save_path / f'nuscenes_infos_{max_sweeps}sweeps_val.pkl',
+                  'wb') as f:
+            pickle.dump(val_infos, f)
+
+
+if __name__ == '__main__':
+    import argparse
+
+    import yaml
+
+    from ...config import EasyDict
+    from ...utils import common_utils
+
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--cfg_file', type=str, default=None,
+                        help='specify the config of dataset')
+    parser.add_argument('--func', type=str, default='create_nuscenes_infos')
+    parser.add_argument('--version', type=str, default='v1.0-trainval')
+    args = parser.parse_args()
+    if args.func == 'create_nuscenes_infos':
+        dataset_cfg = EasyDict(yaml.safe_load(open(args.cfg_file)))
+        ROOT_DIR = (Path(__file__).resolve().parent / '../../../').resolve()
+        dataset_cfg.VERSION = args.version
+        create_nuscenes_info(
+            version=dataset_cfg.VERSION,
+            data_path=ROOT_DIR / 'data' / 'nuscenes',
+            save_path=ROOT_DIR / 'data' / 'nuscenes',
+            max_sweeps=dataset_cfg.MAX_SWEEPS)
+        nuscenes_dataset = NuScenesDataset(
+            dataset_cfg=dataset_cfg, class_names=None,
+            root_path=ROOT_DIR / 'data' / 'nuscenes',
+            logger=common_utils.create_logger(), training=True)
+        nuscenes_dataset.create_groundtruth_database(
+            max_sweeps=dataset_cfg.MAX_SWEEPS)

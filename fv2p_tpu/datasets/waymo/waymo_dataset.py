@@ -49,6 +49,103 @@ class WaymoDataset(DatasetTemplate):
                 self.logger.info('Total sampled samples for Waymo dataset: %d'
                                  % len(self.infos))
 
+    def set_split(self, split):
+        """Re-point the dataset at another split (reference :70-78)."""
+        super().__init__(dataset_cfg=self.dataset_cfg,
+                         class_names=self.class_names, training=self.training,
+                         root_path=self.root_path, logger=self.logger)
+        self.split = split
+        split_dir = self.root_path / 'ImageSets' / (self.split + '.txt')
+        self.sample_sequence_list = [x.strip() for x in open(split_dir).readlines()] \
+            if split_dir.exists() else []
+        self.infos = []
+
+    @staticmethod
+    def check_sequence_name_with_all_version(sequence_file):
+        """Tolerate the two public tfrecord naming schemes (reference :71-77)."""
+        from pathlib import Path
+        s = str(sequence_file)
+        if '_with_camera_labels' not in s and not sequence_file.exists():
+            sequence_file = Path(s[:-len('.tfrecord')]
+                                 + '_with_camera_labels.tfrecord')
+        if '_with_camera_labels' in s and not sequence_file.exists():
+            sequence_file = Path(s.replace('_with_camera_labels', ''))
+        return sequence_file
+
+    def get_infos(self, raw_data_path, save_path, num_workers=4,
+                  has_label=True, sampled_interval=1):
+        """Extract every sequence tfrecord to per-frame npy + a sequence info
+        pkl, threaded across sequences (reference :79-102)."""
+        import concurrent.futures as futures
+        from functools import partial
+
+        from . import waymo_utils
+        process = partial(waymo_utils.process_single_sequence,
+                          save_path=save_path,
+                          sampled_interval=sampled_interval,
+                          has_label=has_label)
+        seq_files = [self.check_sequence_name_with_all_version(
+            raw_data_path / f) for f in self.sample_sequence_list]
+        with futures.ThreadPoolExecutor(num_workers) as executor:
+            sequence_infos = list(executor.map(process, seq_files))
+        return [item for infos in sequence_infos for item in infos]
+
+    def create_groundtruth_database(self, info_path, save_path,
+                                    used_classes=None, split='train',
+                                    sampled_interval=10,
+                                    processed_data_tag=None):
+        """Crop per-object point clouds into the sampler database
+        (reference :429-484); points-in-box test is host numpy instead of the
+        reference's points_in_boxes_gpu CUDA kernel."""
+        database_save_path = save_path / ('pcdet_gt_database_%s_sampled_%d'
+                                          % (split, sampled_interval))
+        db_info_save_path = save_path / ('pcdet_waymo_dbinfos_%s_sampled_%d.pkl'
+                                         % (split, sampled_interval))
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        with open(info_path, 'rb') as f:
+            infos = pickle.load(f)
+
+        for k in range(0, len(infos), sampled_interval):
+            info = infos[k]
+            pc_info = info['point_cloud']
+            sequence_name = pc_info['lidar_sequence']
+            sample_idx = pc_info['sample_idx']
+            points = self.get_lidar(sequence_name, sample_idx)
+            annos = info['annos']
+            names = annos['name']
+            difficulty = annos['difficulty']
+            gt_boxes = annos['gt_boxes_lidar']
+            num_obj = gt_boxes.shape[0]
+            if num_obj == 0:
+                continue
+            in_bev = box_utils.in_box_bev_np(points[:, :2], gt_boxes[:, :7])
+            dz = np.abs(points[None, :, 2] - gt_boxes[:, None, 2]) \
+                <= gt_boxes[:, None, 5] / 2
+            point_indices = in_bev & dz
+
+            for i in range(num_obj):
+                filename = '%s_%04d_%s_%d.bin' % (sequence_name, sample_idx,
+                                                  names[i], i)
+                filepath = database_save_path / filename
+                gt_points = points[point_indices[i] > 0]
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                if (used_classes is None) or names[i] in used_classes:
+                    with open(filepath, 'w') as f:
+                        gt_points.tofile(f)
+                    db_path = str(filepath.relative_to(self.root_path))
+                    db_info = {'name': names[i], 'path': db_path,
+                               'sequence_name': sequence_name,
+                               'sample_idx': sample_idx, 'gt_idx': i,
+                               'box3d_lidar': gt_boxes[i],
+                               'num_points_in_gt': gt_points.shape[0],
+                               'difficulty': difficulty[i]}
+                    all_db_infos.setdefault(names[i], []).append(db_info)
+        for name, v in all_db_infos.items():
+            print('Database %s: %d' % (name, len(v)))
+        with open(db_info_save_path, 'wb') as f:
+            pickle.dump(all_db_infos, f)
+
     def get_lidar(self, sequence_name, sample_idx):
         """(N, 7) npy [x,y,z,intensity,elongation,NLZ_flag] -> NLZ-filtered
         (N, 5) with tanh-squashed intensity (reference :103-110)."""
@@ -197,3 +294,68 @@ class WaymoDataset(DatasetTemplate):
         elif metric == 'waymo':
             return self.waymo_eval(eval_det_annos, eval_gt_annos, class_names)
         raise NotImplementedError(metric)
+
+
+def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
+                       raw_data_tag='raw_data',
+                       processed_data_tag='waymo_processed_data', workers=4):
+    """End-to-end Waymo preprocessing: tfrecord extraction -> split info pkls
+    -> train gt database (reference :487-528)."""
+    from ...utils import common_utils
+    dataset = WaymoDataset(dataset_cfg=dataset_cfg, class_names=class_names,
+                           root_path=data_path, training=False,
+                           logger=common_utils.create_logger())
+    train_split, val_split = 'train', 'val'
+    train_filename = save_path / ('waymo_infos_%s.pkl' % train_split)
+    val_filename = save_path / ('waymo_infos_%s.pkl' % val_split)
+
+    print('---------------Start to generate data infos---------------')
+    dataset.set_split(train_split)
+    waymo_infos_train = dataset.get_infos(
+        raw_data_path=data_path / raw_data_tag,
+        save_path=save_path / processed_data_tag, num_workers=workers,
+        has_label=True, sampled_interval=1)
+    with open(train_filename, 'wb') as f:
+        pickle.dump(waymo_infos_train, f)
+    print('Waymo info train file is saved to %s' % train_filename)
+
+    dataset.set_split(val_split)
+    waymo_infos_val = dataset.get_infos(
+        raw_data_path=data_path / raw_data_tag,
+        save_path=save_path / processed_data_tag, num_workers=workers,
+        has_label=True, sampled_interval=1)
+    with open(val_filename, 'wb') as f:
+        pickle.dump(waymo_infos_val, f)
+    print('Waymo info val file is saved to %s' % val_filename)
+
+    print('---------------Start create groundtruth database---------------')
+    dataset.set_split(train_split)
+    dataset.create_groundtruth_database(
+        info_path=train_filename, save_path=save_path, split='train',
+        sampled_interval=10, used_classes=['Vehicle', 'Pedestrian', 'Cyclist'])
+    print('---------------Data preparation Done---------------')
+
+
+if __name__ == '__main__':
+    import argparse
+    from pathlib import Path
+
+    import yaml
+
+    from ...config import EasyDict
+
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--cfg_file', type=str, default=None,
+                        help='specify the config of dataset')
+    parser.add_argument('--func', type=str, default='create_waymo_infos')
+    args = parser.parse_args()
+    if args.func == 'create_waymo_infos':
+        dataset_cfg = EasyDict(yaml.safe_load(open(args.cfg_file)))
+        ROOT_DIR = (Path(__file__).resolve().parent / '../../../').resolve()
+        create_waymo_infos(
+            dataset_cfg=dataset_cfg,
+            class_names=['Vehicle', 'Pedestrian', 'Cyclist'],
+            data_path=ROOT_DIR / 'data' / 'waymo',
+            save_path=ROOT_DIR / 'data' / 'waymo',
+            raw_data_tag='raw_data',
+            processed_data_tag=dataset_cfg.PROCESSED_DATA_TAG)
