@@ -1,0 +1,142 @@
+"""Evaluation loop (reference ``tools/eval_utils/eval_utils.py``): batch loop
+-> recall stats @{0.3,0.5,0.7} -> prediction dicts -> dataset.evaluation.
+
+TPU-native differences: the model returns fixed-shape padded predictions
+(``pred_valid`` mask instead of ragged lists), recall counting is a jitted
+masked-IoU reduction instead of per-sample CUDA calls, and timing uses a
+scalar fetch (the only reliable synchronization barrier on the axon backend).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def make_recall_fn(thresh_list):
+    """Jitted recall counter (reference detector3d_template.py:434-476
+    ``generate_recall_record``): for each GT box, did any final (and any RoI)
+    box overlap it above each threshold? Padded GT rows are all-zero and
+    masked out. Returns (rcnn_counts, roi_counts, num_gt) summed over batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fv2p_tpu.utils import iou3d
+
+    def _max_iou_per_gt(cand_boxes, cand_valid, gt, gt_valid):
+        iou = iou3d.boxes_iou3d(gt[:, :7], cand_boxes[:, :7])  # (M, N)
+        iou = jnp.where(cand_valid[None, :], iou, 0.0)
+        return jnp.where(gt_valid, iou.max(axis=1), 0.0)
+
+    @jax.jit
+    def recall_counts(pred_boxes, pred_valid, gt_boxes, roi_boxes=None):
+        def one(pb, pv, gb, rb):
+            gv = jnp.abs(gb[:, :7]).sum(-1) > 0
+            best = _max_iou_per_gt(pb, pv, gb, gv)
+            counts = jnp.stack([(best > t).sum() for t in thresh_list])
+            if rb is None:
+                counts_r = jnp.zeros_like(counts)
+            else:
+                best_r = _max_iou_per_gt(rb, jnp.ones(rb.shape[0], bool),
+                                         gb, gv)
+                counts_r = jnp.stack([(best_r > t).sum()
+                                      for t in thresh_list])
+            return counts, counts_r, gv.sum()
+
+        if roi_boxes is None:
+            counts, counts_r, num_gt = jax.vmap(
+                lambda pb, pv, gb: one(pb, pv, gb, None)
+            )(pred_boxes, pred_valid, gt_boxes)
+        else:
+            counts, counts_r, num_gt = jax.vmap(one)(
+                pred_boxes, pred_valid, gt_boxes, roi_boxes)
+        return counts.sum(0), counts_r.sum(0), num_gt.sum()
+
+    return recall_counts
+
+
+def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
+                   batch_size, save_to_file=False, tb_log=None, epoch_id=0):
+    import jax
+    import jax.numpy as jnp
+
+    pp_cfg = cfg.MODEL.POST_PROCESSING
+    thresh_list = list(pp_cfg.get('RECALL_THRESH_LIST', [0.3, 0.5, 0.7]))
+    recall_fn = make_recall_fn(tuple(thresh_list))
+
+    def to_jnp(batch):
+        out = {}
+        for k, v in batch.items():
+            if k in ('image_shape',):
+                continue
+            if isinstance(v, np.ndarray):
+                out[k] = jnp.asarray(v)
+            elif isinstance(v, dict):
+                out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        return out
+
+    infer = jax.jit(lambda v, b: model.apply(v, dict(b), train=False))
+
+    det_annos = []
+    recall = {('recall_rcnn_%s' % str(t)): 0 for t in thresh_list}
+    recall.update({('recall_roi_%s' % str(t)): 0 for t in thresh_list})
+    total_gt = 0
+    t_infer = 0.0
+    n_scans = 0
+    for i, batch_np in enumerate(loader):
+        # drop ragged final batch (static shapes); reference pads instead
+        if batch_np['voxels'].shape[0] != batch_size:
+            continue
+        batch = to_jnp(batch_np)
+        t0 = time.time()
+        out = infer(variables, batch)
+        pred = {k: np.asarray(out[k]) for k in
+                ('pred_boxes', 'pred_scores', 'pred_labels', 'pred_valid')}
+        t_infer += time.time() - t0
+        n_scans += batch_size
+
+        if 'gt_boxes' in batch:
+            counts, counts_r, num_gt = recall_fn(
+                out['pred_boxes'], out['pred_valid'], batch['gt_boxes'],
+                out.get('rois'))
+            counts, counts_r = np.asarray(counts), np.asarray(counts_r)
+            total_gt += int(num_gt)
+            for j, t in enumerate(thresh_list):
+                recall['recall_rcnn_%s' % str(t)] += int(counts[j])
+                recall['recall_roi_%s' % str(t)] += int(counts_r[j])
+
+        annos = test_set.generate_prediction_dicts(
+            batch_np, pred, cfg.CLASS_NAMES,
+            output_path=eval_dir if save_to_file else None)
+        det_annos += annos
+        if i % 50 == 0:
+            logger.info(f'eval batch {i}/{len(loader)}')
+
+    sec_per_example = t_infer / max(n_scans, 1)
+    logger.info('sec_per_example: %.4f' % sec_per_example)
+
+    ret_dict = {}
+    if total_gt > 0:
+        for t in thresh_list:
+            r_rcnn = recall['recall_rcnn_%s' % str(t)] / total_gt
+            r_roi = recall['recall_roi_%s' % str(t)] / total_gt
+            logger.info('recall_rcnn_%s: %.4f  recall_roi_%s: %.4f'
+                        % (t, r_rcnn, t, r_roi))
+            ret_dict['recall/rcnn_%s' % str(t)] = r_rcnn
+            ret_dict['recall/roi_%s' % str(t)] = r_roi
+
+    result_str, result_dict = test_set.evaluation(
+        det_annos, cfg.CLASS_NAMES,
+        eval_metric=pp_cfg.get('EVAL_METRIC', 'kitti'),
+        output_path=str(eval_dir))
+    logger.info(result_str)
+    ret_dict.update({k: float(v) for k, v in result_dict.items()})
+    ret_dict['sec_per_example'] = sec_per_example
+
+    if tb_log is not None:
+        for key, val in ret_dict.items():
+            tb_log.add_scalar(key, val, epoch_id)
+
+    with open(eval_dir / 'result.json', 'w') as f:
+        json.dump(ret_dict, f, indent=2)
+    return ret_dict

@@ -1,8 +1,10 @@
 """Evaluation entry point (reference ``tools/test.py``): single-checkpoint
-eval with recall stats + official KITTI AP."""
+eval or an ``--eval_all`` watcher loop that polls the checkpoint directory
+and keeps an eval-record file of already-evaluated epochs."""
 import argparse
 import datetime
-import json
+import glob
+import re
 import sys
 import time
 from pathlib import Path
@@ -21,6 +23,13 @@ def parse_config():
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     parser.add_argument('--save_to_file', action='store_true', default=False)
+    parser.add_argument('--eval_all', action='store_true', default=False,
+                        help='evaluate all checkpoints in ckpt_dir as they appear')
+    parser.add_argument('--ckpt_dir', type=str, default=None,
+                        help='checkpoint dir for --eval_all')
+    parser.add_argument('--max_waiting_mins', type=int, default=30,
+                        help='--eval_all: give up after this many idle minutes')
+    parser.add_argument('--start_epoch', type=int, default=0)
     args = parser.parse_args()
 
     from fv2p_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -32,15 +41,41 @@ def parse_config():
     return args, cfg
 
 
+def _restore_variables(model, example_variables, ckpt_path, logger):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(ckpt_path).resolve())
+    logger.info(f'restored from {ckpt_path}')
+    return {'params': restored['params'],
+            'batch_stats': restored.get('batch_stats', {})}
+
+
+def get_no_evaluated_ckpt(ckpt_dir, record_file, start_epoch):
+    """Oldest not-yet-evaluated checkpoint (reference test.py:67-83).
+
+    Orbax checkpoints are directories named by step under ckpt_dir.
+    """
+    ckpt_list = sorted(glob.glob(str(Path(ckpt_dir) / '*')))
+    evaluated = [float(x.strip()) for x in open(record_file).readlines()] \
+        if Path(record_file).exists() else []
+    for cur_ckpt in ckpt_list:
+        m = re.search(r'(\d+)$', Path(cur_ckpt).name)
+        if m is None:
+            continue
+        epoch_id = int(m.group(1))
+        if epoch_id not in evaluated and epoch_id >= start_epoch:
+            return epoch_id, cur_ckpt
+    return -1, None
+
+
 def main():
     args, cfg = parse_config()
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import orbax.checkpoint as ocp
 
-    from fv2p_tpu.datasets import dataset_meta_from_cfg
-    from fv2p_tpu.datasets import build_dataset
+    from eval_utils import eval_utils
+    from fv2p_tpu.datasets import build_dataset, dataset_meta_from_cfg
     from fv2p_tpu.models import build_network
     from fv2p_tpu.utils import common_utils
 
@@ -78,48 +113,57 @@ def main():
                 out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
         return out
 
-    # init + restore
-    first = next(iter(loader))
-    example = to_jnp(first)
+    example = to_jnp(next(iter(loader)))
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, example)
-    if args.ckpt:
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(Path(args.ckpt).resolve())
-        variables = {'params': restored['params'],
-                     'batch_stats': restored.get('batch_stats', {})}
-        logger.info(f'restored from {args.ckpt}')
 
-    infer = jax.jit(lambda v, b: model.apply(v, dict(b), train=False))
+    tb_log = None
+    try:
+        from tensorboardX import SummaryWriter
+        tb_log = SummaryWriter(log_dir=str(eval_dir / 'tensorboard'))
+    except ImportError:
+        pass
 
-    det_annos = []
-    t_infer = 0.0
-    n_scans = 0
-    for i, batch_np in enumerate(loader):
-        # drop ragged final batch (static shapes); reference pads instead
-        if batch_np['voxels'].shape[0] != batch_size:
+    if not args.eval_all:
+        if args.ckpt:
+            variables = _restore_variables(model, variables, args.ckpt, logger)
+        eval_utils.eval_one_epoch(
+            cfg, model, variables, loader, test_set, eval_dir, logger,
+            batch_size, save_to_file=args.save_to_file, tb_log=tb_log)
+        logger.info('****************End evaluation****************')
+        return
+
+    # ---- --eval_all watcher (reference test.py:85-131)
+    ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else output_dir / 'ckpt'
+    record_file = eval_dir / ('eval_list_%s.txt' % cfg.DATA_CONFIG.DATA_SPLIT['test'])
+    wait_second = 30
+    total_time = 0
+    while True:
+        epoch_id, cur_ckpt = get_no_evaluated_ckpt(
+            ckpt_dir, record_file, args.start_epoch)
+        if epoch_id == -1:
+            total_time += wait_second
+            if total_time > args.max_waiting_mins * 60:
+                logger.info('max waiting time reached; exiting')
+                break
+            print('Wait %s seconds for next check (progress: %.1f / %d minutes): %s'
+                  % (wait_second, total_time / 60, args.max_waiting_mins,
+                     ckpt_dir), end='\r')
+            time.sleep(wait_second)
             continue
-        batch = to_jnp(batch_np)
-        t0 = time.time()
-        out = infer(variables, batch)
-        pred = {k: np.asarray(out[k]) for k in
-                ('pred_boxes', 'pred_scores', 'pred_labels', 'pred_valid')}
-        t_infer += time.time() - t0
-        n_scans += batch_size
-        annos = test_set.generate_prediction_dicts(
-            batch_np, pred, cfg.CLASS_NAMES,
-            output_path=eval_dir if args.save_to_file else None)
-        det_annos += annos
-        if i % 50 == 0:
-            logger.info(f'eval batch {i}/{len(loader)}')
-
-    logger.info('sec_per_example: %.4f' % (t_infer / max(n_scans, 1)))
-    result_str, result_dict = test_set.evaluation(det_annos, cfg.CLASS_NAMES)
-    logger.info(result_str)
-    with open(eval_dir / 'result.json', 'w') as f:
-        json.dump({k: float(v) for k, v in result_dict.items()}, f, indent=2)
-    logger.info('**********************End evaluation**********************')
+        total_time = 0
+        variables = _restore_variables(model, variables, cur_ckpt, logger)
+        cur_eval_dir = eval_dir / ('epoch_%d' % epoch_id)
+        cur_eval_dir.mkdir(parents=True, exist_ok=True)
+        eval_utils.eval_one_epoch(
+            cfg, model, variables, loader, test_set, cur_eval_dir, logger,
+            batch_size, save_to_file=args.save_to_file, tb_log=tb_log,
+            epoch_id=epoch_id)
+        with open(record_file, 'a') as f:
+            print('%d' % epoch_id, file=f)
+        logger.info('Epoch %d has been evaluated' % epoch_id)
+    logger.info('****************End evaluation****************')
 
 
 if __name__ == '__main__':

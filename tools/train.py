@@ -162,6 +162,14 @@ def main():
 
     logger.info(f'start training: {epochs} epochs x {steps_per_epoch} steps, '
                 f'{len(devices)} device(s)')
+    # TensorBoard scalars on rank 0 (reference train.py:111, train_utils.py:56-64)
+    tb_log = None
+    if jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
+            tb_log = SummaryWriter(log_dir=str(output_dir / 'tensorboard'))
+        except ImportError:
+            logger.info('tensorboardX not available; skipping TB logging')
     metrics_file = open(output_dir / 'metrics.jsonl', 'a')
     it = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, epochs):
@@ -175,6 +183,11 @@ def main():
                             % (epoch, it, m['loss'], m['grad_norm']))
                 metrics_file.write(json.dumps(m) + '\n')
                 metrics_file.flush()
+                if tb_log is not None:
+                    tb_log.add_scalar('train/loss', m['loss'], it)
+                    for k, v in m.items():
+                        if k not in ('loss', 'epoch', 'it'):
+                            tb_log.add_scalar('train/' + k, v, it)
         mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
         logger.info(f'saved checkpoint epoch {epoch + 1}')
     mgr.wait_until_finished()
