@@ -28,6 +28,10 @@ def parse_config():
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
                         help='set extra config keys if needed')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--eval_after_train', action='store_true', default=False,
+                        help='evaluate the last --num_epochs_to_eval checkpoints '
+                             'after training (reference train.py:200-216)')
+    parser.add_argument('--num_epochs_to_eval', type=int, default=10)
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
     parser.add_argument('--dist', action='store_true', default=False,
                         help='multi-host: jax.distributed.initialize()')
@@ -192,6 +196,37 @@ def main():
         logger.info(f'saved checkpoint epoch {epoch + 1}')
     mgr.wait_until_finished()
     logger.info('**********************End training**********************')
+
+    if args.eval_after_train and jax.process_index() == 0:
+        # evaluate the newest checkpoints (reference train.py:200-216)
+        sys.path.insert(0, str(REPO / 'tools'))
+        from eval_utils import eval_utils
+
+        eval_dir = output_dir / 'eval' / 'eval_with_train'
+        eval_dir.mkdir(parents=True, exist_ok=True)
+        test_set = build_dataset(cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+                                 training=False, logger=logger)
+        if cfg.MODEL.get('BACKBONE_3D') is not None:
+            test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
+        test_loader = torch_data.DataLoader(
+            test_set, batch_size=batch_size, num_workers=args.workers,
+            shuffle=False, collate_fn=test_set.collate_batch, drop_last=False)
+        eval_meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, 'test')
+        eval_model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                                   class_names=cfg.CLASS_NAMES,
+                                   dataset_meta=eval_meta,
+                                   compute_dtype=jnp.bfloat16)
+        steps = sorted(mgr.all_steps())[-args.num_epochs_to_eval:]
+        for step in steps:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(state))
+            variables = {'params': restored.params,
+                         'batch_stats': restored.batch_stats or {}}
+            cur_dir = eval_dir / ('epoch_%d' % step)
+            cur_dir.mkdir(parents=True, exist_ok=True)
+            logger.info(f'--- eval_with_train: epoch {step} ---')
+            eval_utils.eval_one_epoch(
+                cfg, eval_model, variables, test_loader, test_set, cur_dir,
+                logger, batch_size, epoch_id=step)
 
 
 if __name__ == '__main__':
