@@ -1,0 +1,80 @@
+"""Per-stage inference timing for the flagship MGAF-3DSSD pipeline on the
+real TPU. Each stage is jitted cumulatively (vfe -> +backbone3d -> +bev ->
+full) so stage cost = difference of consecutive cumulative times. Scalar
+fetch is used as the synchronization barrier (axon's block_until_ready does
+not synchronize)."""
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+
+
+def force(x):
+    leaves = [l for l in jax.tree_util.tree_leaves(x)
+              if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype, jnp.inexact)]
+    return float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves[:3]))
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args); force(out)          # compile
+    force(fn(*args))                     # warm cache
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    force(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    batch_size = 4
+    cfg, model, variables, batch = ge._flagship(
+        batch_size=batch_size, n_cap=16000, n_fill=14000,
+        compute_dtype=jnp.bfloat16)
+    batch.pop('gt_boxes')
+
+    bound = model.bind(variables)
+    modules = bound.build_module_list()
+    names = [type(m).__name__ for m in modules]
+    print('modules:', names)
+
+    def run_prefix(k):
+        @jax.jit
+        def fn(variables, batch):
+            def body(mdl, batch):
+                bd = dict(batch)
+                for m in mdl.build_module_list()[:k]:
+                    bd = m(bd, train=False)
+                return bd
+            return model.apply(variables, batch, method=lambda mdl, b: body(mdl, b))
+        return fn
+
+    @jax.jit
+    def full(variables, batch):
+        return model.apply(variables, dict(batch), train=False)
+
+    prev = 0.0
+    for k in range(1, len(modules) + 1):
+        try:
+            t = timeit(run_prefix(k), variables, dict(batch))
+        except Exception as e:
+            print(f'prefix {k} ({names[k-1]}): FAILED {type(e).__name__}: {e}')
+            continue
+        print('after %-28s cum=%7.2fms  stage=%7.2fms'
+              % (names[k - 1], t * 1e3, (t - prev) * 1e3))
+        prev = t
+
+    t = timeit(full, variables, dict(batch))
+    print('full pipeline (incl. decode+NMS): %7.2fms  stage=%7.2fms'
+          % (t * 1e3, (t - prev) * 1e3))
+    print('scans/sec/chip: %.2f' % (batch_size / t))
+
+
+if __name__ == '__main__':
+    main()

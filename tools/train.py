@@ -28,6 +28,9 @@ def parse_config():
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
                         help='set extra config keys if needed')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--profile_steps', type=str, default=None,
+                        help='"START,END": capture a jax.profiler trace of these '
+                             'global steps into <output_dir>/profile')
     parser.add_argument('--eval_after_train', action='store_true', default=False,
                         help='evaluate the last --num_epochs_to_eval checkpoints '
                              'after training (reference train.py:200-216)')
@@ -174,12 +177,22 @@ def main():
             tb_log = SummaryWriter(log_dir=str(output_dir / 'tensorboard'))
         except ImportError:
             logger.info('tensorboardX not available; skipping TB logging')
+    profile_range = tuple(int(x) for x in args.profile_steps.split(',')) \
+        if args.profile_steps else None
     metrics_file = open(output_dir / 'metrics.jsonl', 'a')
     it = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, epochs):
         for batch in prefetch(loader):
+            if profile_range and it == profile_range[0]:
+                jax.profiler.start_trace(str(output_dir / 'profile'))
             state, metrics = step_fn(state, batch)
             it += 1
+            if profile_range and it == profile_range[1]:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                logger.info('profiler trace written to %s'
+                            % (output_dir / 'profile'))
             if it % 50 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(epoch=epoch, it=it)
