@@ -33,27 +33,59 @@ def timeit(fn, *args, iters=20):
 
 
 def main():
-    batch_size = 4
-    cfg, model, variables, batch = ge._flagship(
-        batch_size=batch_size, n_cap=16000, n_fill=14000,
-        compute_dtype=jnp.bfloat16)
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model', choices=['mgaf', 'fv2p'], default='mgaf')
+    parser.add_argument('--batch_size', type=int, default=4)
+    args = parser.parse_args()
+
+    batch_size = args.batch_size
+    if args.model == 'fv2p':
+        cfg, model, variables, batch = ge._flagship(
+            batch_size=batch_size, n_cap=16000, n_fill=14000,
+            compute_dtype=jnp.bfloat16,
+            cfg_path='tools/cfgs/kitti_models/FV2P/fv2p.yaml',
+            n_points=18000)
+    else:
+        cfg, model, variables, batch = ge._flagship(
+            batch_size=batch_size, n_cap=16000, n_fill=14000,
+            compute_dtype=jnp.bfloat16)
     batch.pop('gt_boxes')
 
-    bound = model.bind(variables)
-    modules = bound.build_module_list()
-    names = [type(m).__name__ for m in modules]
-    print('modules:', names)
+    import dataclasses
+
+    import flax.linen as nn
+
+    # a detector subclass that stops after the first `prefix_k` modules;
+    # module names (and hence param paths) match the full model, and flax
+    # ignores the unused extra params during apply.
+    seen_names = []
+
+    class PrefixDetector(type(model)):
+        prefix_k: int = 0
+
+        @nn.compact
+        def __call__(self, batch_dict, *, train=False):
+            mods = self.build_module_list()
+            if not seen_names:
+                seen_names.extend(type(m).__name__ for m in mods)
+            for m in mods[:self.prefix_k]:
+                batch_dict = m(batch_dict, train=train)
+            return batch_dict
+
+    fields = {f.name: getattr(model, f.name)
+              for f in dataclasses.fields(model)
+              if f.name not in ('parent', 'name', 'prefix_k')}
 
     def run_prefix(k):
-        @jax.jit
-        def fn(variables, batch):
-            def body(mdl, batch):
-                bd = dict(batch)
-                for m in mdl.build_module_list()[:k]:
-                    bd = m(bd, train=False)
-                return bd
-            return model.apply(variables, batch, method=lambda mdl, b: body(mdl, b))
-        return fn
+        prefix_model = PrefixDetector(prefix_k=k, **fields)
+        return jax.jit(lambda v, b: prefix_model.apply(v, dict(b), train=False))
+
+    # trace once (k=0) to discover module names
+    run_prefix(0)(variables, dict(batch))
+    names = list(seen_names)
+    modules = names
+    print('modules:', names)
 
     @jax.jit
     def full(variables, batch):
