@@ -20,21 +20,48 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bilinear_sample_impl(x_grouped, sy, sx, h, w):
-    """Sample x at fractional locations with zero padding outside.
+def build_quad(x_grouped, h, w):
+    """Pre-arrange the sampling source as "quad rows": one 4*Cg row per
+    (y, x) cell of the (H+1, W+1) zero-padded cell grid, holding all four
+    bilinear corners [v(y,x) v(y,x+1) v(y+1,x) v(y+1,x+1)], plus a trailing
+    all-zero sentinel row for fully-out-of-range samples.
 
-    Args:
-        x_grouped: (B, G, H*W, Cg).
-        sy, sx: (B, G, S) fractional sample coords (S = H*W*K).
-    Returns: (B, G, S, Cg).
+    TPU gather cost is dominated by entry count, not bytes (measured
+    9.3 GB/s at 64-lane rows vs 33.8 GB/s at 256-lane rows): packing the four
+    corners into one row turns four narrow gathers per sample into ONE wide
+    one. Built once per conv with plain (differentiable) ops and shared by
+    all K taps; the pad/concat transposes route the backward scatter
+    contributions back to x automatically.
 
-    Implementation note: the two x-adjacent corners are fetched as ONE
-    row-pair gather (``lax.gather`` with slice_sizes (2, Cg)) — x-neighbors
-    are contiguous in NHWC, and halving the gather count with double-width
-    rows is ~1.6x faster on TPU than four independent row gathers.
+    Args: x_grouped (B, G, H*W, Cg). Returns (B*G, (H+1)*(W+1)+1, 4*Cg).
     """
     b, g = x_grouped.shape[0], x_grouped.shape[1]
     cg = x_grouped.shape[-1]
+    img = x_grouped.reshape(b * g, h, w, cg)
+    img = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [img[:, :-1, :-1], img[:, :-1, 1:], img[:, 1:, :-1], img[:, 1:, 1:]],
+        axis=-1)                                     # (BG, H+1, W+1, 4Cg)
+    quad = quad.reshape(b * g, (h + 1) * (w + 1), 4 * cg)
+    return jnp.concatenate(
+        [quad, jnp.zeros((b * g, 1, 4 * cg), quad.dtype)], axis=1)
+
+
+def _quad_sample_impl(quad, sy, sx, mod, h, w):
+    """Bilinear sample from quad rows (see build_quad), scaled by the DCN
+    modulation — folding the modulation into the four interpolation weights
+    saves a full pass over the sampled tensor.
+
+    Args:
+        quad: (B*G, (H+1)*(W+1)+1, 4*Cg).
+        sy, sx: (B, G, S) fractional sample coords, float32.
+        mod: (B, G, S) modulation scalars.
+    Returns: out (B, G, S, Cg) and residuals for the backward pass.
+    """
+    cg = quad.shape[-1] // 4
+    bg = quad.shape[0]
+    b = sy.shape[0]
+    g = bg // b
     s = sy.shape[-1]
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
@@ -43,111 +70,82 @@ def _bilinear_sample_impl(x_grouped, sy, sx, h, w):
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    # pad one trailing row so j+1 of the last row is in range
-    flat_src = x_grouped.reshape(b * g, h * w, cg)
-    flat_src = jnp.concatenate(
-        [flat_src, jnp.zeros((b * g, 1, cg), flat_src.dtype)], axis=1)
+    hq, wq = h + 1, w + 1
+    # cell (y0+1, x0+1) is valid iff every corner lands inside the padded
+    # image: y0 in [-1, h-1], x0 in [-1, w-1]; otherwise the sentinel row
+    ok = ((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
+    cell = jnp.where(ok, (y0i + 1) * wq + (x0i + 1), hq * wq)
 
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
-        start_index_map=(0,))
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    rows = jax.vmap(lambda arr, idx: jax.lax.gather(
+        arr, idx[:, None], dnums, slice_sizes=(1, 4 * cg),
+        mode='clip'))(quad, cell.reshape(bg, s))
+    rows = rows.reshape(b, g, s, 4, cg)
 
-    def row_pair(yi, xi):
-        """Gather (x, x+1) channel rows at clamped (yi, xi): (BG, S, 2, Cg).
-
-        Out-of-bounds handled by weight masking in the caller."""
-        flat = (jnp.clip(yi, 0, h - 1) * w
-                + jnp.clip(xi, 0, w - 2)).reshape(b * g, s)
-        return jax.vmap(lambda arr, idx: jax.lax.gather(
-            arr, idx[:, None], dnums, slice_sizes=(2, cg)))(flat_src, flat)
-
-    # weights with zero-pad semantics (sample outside the map contributes 0)
-    def wmask(yi, xi):
-        return ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
-
-    p0 = row_pair(y0i, x0i).reshape(b, g, s, 2, cg)
-    p1 = row_pair(y0i + 1, x0i).reshape(b, g, s, 2, cg)
-
-    # the pair gather clamps x0 into [0, w-2]; remap which slot holds the
-    # true x0 / x0+1 corner at the borders (the out-of-range corner's weight
-    # is zero, so its slot content is irrelevant)
-    shift_hi = (x0i > w - 2)[..., None, None]   # x0 clamped down: x0 -> slot 1
-    shift_lo = (x0i < 0)[..., None, None]       # x0 < 0: x0+1 -> slot 0
-
-    def corner0(p):
-        return jnp.where(shift_hi, p[..., 1:2, :], p[..., 0:1, :])[..., 0, :]
-
-    def corner1(p):
-        return jnp.where(shift_lo, p[..., 0:1, :], p[..., 1:2, :])[..., 0, :]
-
-    m00 = wmask(y0i, x0i).astype(sy.dtype)
-    m01 = wmask(y0i, x0i + 1).astype(sy.dtype)
-    m10 = wmask(y0i + 1, x0i).astype(sy.dtype)
-    m11 = wmask(y0i + 1, x0i + 1).astype(sy.dtype)
-    w00 = (1 - wy1) * (1 - wx1) * m00
-    w01 = (1 - wy1) * wx1 * m01
-    w10 = wy1 * (1 - wx1) * m10
-    w11 = wy1 * wx1 * m11
-
-    corners = (corner0(p0), corner1(p0), corner0(p1), corner1(p1))
+    wdt = quad.dtype
+    modf = mod.astype(jnp.float32)
+    w00 = ((1 - wy1) * (1 - wx1) * modf).astype(wdt)
+    w01 = ((1 - wy1) * wx1 * modf).astype(wdt)
+    w10 = (wy1 * (1 - wx1) * modf).astype(wdt)
+    w11 = (wy1 * wx1 * modf).astype(wdt)
+    corners = (rows[..., 0, :], rows[..., 1, :],
+               rows[..., 2, :], rows[..., 3, :])
     weights = (w00, w01, w10, w11)
-    masks = (m00, m01, m10, m11)
-    out = sum(v * wc[..., None] for v, wc in zip(corners, weights))
-    return out, (corners, weights, masks, (y0i, x0i, wy1, wx1))
+    out = (corners[0] * w00[..., None] + corners[1] * w01[..., None]
+           + corners[2] * w10[..., None] + corners[3] * w11[..., None])
+    return out, (corners, weights, cell, (wy1, wx1, modf))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _bilinear_sample(x_grouped, sy, sx, h, w):
-    """Custom VJP: XLA's transpose of the row-pair gather scatters
-    overlapping (2, Cg) slices, which the TPU executes ~300x slower than a
-    plain row scatter-add (measured 10 s vs 0.037 s per DCN block backward at
-    (4, 200, 176, 128)). The hand-written backward uses one full-row
-    ``.at[].add`` for d(x) and re-gathered corner values for d(sy)/d(sx)."""
-    return _bilinear_sample_impl(x_grouped, sy, sx, h, w)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bilinear_sample(quad, sy, sx, mod, h, w):
+    """Custom VJP: XLA's transpose of the row gather emits overlapping-slice
+    scatters, which the TPU executes ~300x slower than a plain row
+    scatter-add. The hand-written backward does ONE 4*Cg-wide row
+    ``.at[].add`` into the quad source per sample for d(quad) and rowwise
+    <dout, corner> dots for d(sy)/d(sx); the (differentiable) quad build then
+    routes d(quad) back to d(x) through cheap pad/concat transposes."""
+    return _quad_sample_impl(quad, sy, sx, mod, h, w)[0]
 
 
-def _bilinear_sample_fwd(x_grouped, sy, sx, h, w):
-    out, _ = _bilinear_sample_impl(x_grouped, sy, sx, h, w)
-    return out, (x_grouped, sy, sx)
+def _bilinear_sample_fwd(quad, sy, sx, mod, h, w):
+    out, _ = _quad_sample_impl(quad, sy, sx, mod, h, w)
+    return out, (quad, sy, sx, mod)
 
 
 def _bilinear_sample_bwd(h, w, res, dout):
-    x_grouped, sy, sx = res
-    b, g, hw, cg = x_grouped.shape
-    s = sy.shape[-1]
-    _, (corners, weights, masks, (y0i, x0i, wy1, wx1)) = _bilinear_sample_impl(
-        x_grouped, sy, sx, h, w)
+    quad, sy, sx, mod = res
+    bg, q1, cg4 = quad.shape
+    cg = cg4 // 4
+    b, g, s = sy.shape
+    _, (corners, weights, cell, (wy1, wx1, modf)) = _quad_sample_impl(
+        quad, sy, sx, mod, h, w)
     v00, v01, v10, v11 = corners
-    m00, m01, m10, m11 = masks
 
-    # rowwise <dout, corner> dots for the offset gradients
+    # offset grads: rowwise <dout, corner> dots (OOB corners are zero rows,
+    # so no explicit masking is needed)
     d00 = jnp.sum(dout * v00, axis=-1)
     d01 = jnp.sum(dout * v01, axis=-1)
     d10 = jnp.sum(dout * v10, axis=-1)
     d11 = jnp.sum(dout * v11, axis=-1)
-    dsy = (-(1 - wx1) * m00 * d00 - wx1 * m01 * d01
-           + (1 - wx1) * m10 * d10 + wx1 * m11 * d11)
-    dsx = (-(1 - wy1) * m00 * d00 + (1 - wy1) * m01 * d01
-           - wy1 * m10 * d10 + wy1 * m11 * d11)
+    dsy = modf * (-(1 - wx1) * d00 - wx1 * d01
+                  + (1 - wx1) * d10 + wx1 * d11)
+    dsx = modf * (-(1 - wy1) * d00 + (1 - wy1) * d01
+                  - wy1 * d10 + wy1 * d11)
+    dmod = ((1 - wy1) * (1 - wx1) * d00 + (1 - wy1) * wx1 * d01
+            + wy1 * (1 - wx1) * d10 + wy1 * wx1 * d11)
 
-    # d(x): scatter-add of full Cg rows (4 corners per sample); out-of-bounds
-    # corners route to a dropped sentinel row
-    def flat_idx(yi, xi):
-        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        return jnp.where(ok, yi * w + xi, hw)
-
-    idx = jnp.concatenate([flat_idx(y0i, x0i), flat_idx(y0i, x0i + 1),
-                           flat_idx(y0i + 1, x0i), flat_idx(y0i + 1, x0i + 1)],
-                          axis=-1).reshape(b * g, 4 * s)
+    # d(quad): one wide row scatter-add per sample; sentinel-row updates are
+    # dropped by the quad build's concat transpose
     w00, w01, w10, w11 = weights
     upd = jnp.concatenate(
         [dout * w00[..., None], dout * w01[..., None],
          dout * w10[..., None], dout * w11[..., None]],
-        axis=2).reshape(b * g, 4 * s, cg)
-    dx = jnp.zeros((b * g, hw + 1, cg), dout.dtype)
-    dx = dx.at[jnp.arange(b * g)[:, None], idx].add(upd, mode='drop')
-    dx = dx[:, :hw].reshape(b, g, hw, cg).astype(x_grouped.dtype)
-    return dx, dsy.astype(sy.dtype), dsx.astype(sx.dtype)
+        axis=-1).reshape(bg, s, cg4)
+    dquad = jnp.zeros((bg, q1, cg4), dout.dtype)
+    dquad = dquad.at[jnp.arange(bg)[:, None], cell.reshape(bg, s)].add(upd)
+    return (dquad.astype(quad.dtype), dsy.astype(sy.dtype),
+            dsx.astype(sx.dtype), dmod.astype(mod.dtype))
 
 
 _bilinear_sample.defvjp(_bilinear_sample_fwd, _bilinear_sample_bwd)
@@ -174,34 +172,61 @@ def modulated_deform_conv(x, offset_dy, offset_dx, mask, weights,
     pad = (kernel_size - 1) // 2
     cout = weights.shape[-1]
 
+    # sample coordinates in float32 ALWAYS: bf16's 8 mantissa bits cannot
+    # represent fractional positions beyond x ~ 128 (0.5-pixel error at the
+    # far edge of a 176-wide BEV map)
     ky, kx = np.meshgrid(np.arange(kernel_size), np.arange(kernel_size),
                          indexing='ij')
-    tap_y = jnp.asarray(ky.reshape(-1), x.dtype) - pad  # (K,)
-    tap_x = jnp.asarray(kx.reshape(-1), x.dtype) - pad
-    base_y = jax.lax.broadcasted_iota(x.dtype, (h, w), 0).reshape(h * w)
-    base_x = jax.lax.broadcasted_iota(x.dtype, (h, w), 1).reshape(h * w)
+    tap_y = jnp.asarray(ky.reshape(-1), jnp.float32) - pad  # (K,)
+    tap_x = jnp.asarray(kx.reshape(-1), jnp.float32) - pad
+    base_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(h * w)
+    base_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(h * w)
 
-    dy = offset_dy.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)  # (K,B,G,HW)
-    dx = offset_dx.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)
+    dy = offset_dy.astype(jnp.float32).reshape(
+        b, h * w, g, k).transpose(3, 0, 2, 1)               # (K,B,G,HW)
+    dx = offset_dx.astype(jnp.float32).reshape(
+        b, h * w, g, k).transpose(3, 0, 2, 1)
     m = mask.reshape(b, h * w, g, k).transpose(3, 0, 2, 1)
 
     xg = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)  # (B, G, H*W, Cg)
+    quad = build_quad(xg, h, w)   # tap-independent, built ONCE (not 9x)
+
+    # tap weights split per deformable group so the sampled tensor feeds the
+    # MXU directly in (B, G, HW, Cg) layout — no (B, HW, C) transpose
+    w_g = weights.reshape(k, g, cg, cout)
+
+    # chunk samples within a tap so the gathered-rows temporary stays small
+    # (~(B*G*chunk*4Cg) elements); the peak HBM cost would otherwise be
+    # quad + a full (B, G, HW, 4, Cg) rows buffer per tap
+    hw = h * w
+    n_chunks = 1
+    while hw // n_chunks > 8192 and hw % (n_chunks * 2) == 0:
+        n_chunks *= 2
+    while hw // n_chunks > 8192 and hw % (n_chunks * 5) == 0:
+        n_chunks *= 5
+    chunk = hw // n_chunks
 
     @jax.checkpoint
     def tap_body(carry, inputs):
         dy_k, dx_k, m_k, ty, tx, w_k = inputs
         sy = base_y[None, None, :] + ty + dy_k             # (B, G, HW)
         sx = base_x[None, None, :] + tx + dx_k
-        sampled = _bilinear_sample(xg, sy, sx, h, w)       # (B, G, HW, Cg)
-        sampled = sampled * m_k[..., None]
-        flat = sampled.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-        out_k = jnp.einsum('bnc,co->bno', flat, w_k,
+        if n_chunks > 1:
+            sampled = jax.lax.map(
+                lambda t: _bilinear_sample(quad, t[0], t[1], t[2], h, w),
+                (sy.reshape(b, g, n_chunks, chunk).transpose(2, 0, 1, 3),
+                 sx.reshape(b, g, n_chunks, chunk).transpose(2, 0, 1, 3),
+                 m_k.reshape(b, g, n_chunks, chunk).transpose(2, 0, 1, 3)))
+            sampled = sampled.transpose(1, 2, 0, 3, 4).reshape(b, g, hw, cg)
+        else:
+            sampled = _bilinear_sample(quad, sy, sx, m_k, h, w)
+        out_k = jnp.einsum('bgnc,gco->bno', sampled, w_k,
                            preferred_element_type=jnp.float32)
         return carry + out_k, None
 
     init = jnp.zeros((b, h * w, cout), jnp.float32)
     out, _ = jax.lax.scan(tap_body, init,
-                          (dy, dx, m, tap_y, tap_x, weights))
+                          (dy, dx, m, tap_y, tap_x, w_g))
     return out.reshape(b, h, w, -1)
 
 
@@ -228,8 +253,7 @@ class MdeformConvBlock(nn.Module):
         xin = x if self.compute_dtype is None else x.astype(self.compute_dtype)
         win = w if self.compute_dtype is None else w.astype(self.compute_dtype)
         return modulated_deform_conv(
-            xin, dy.astype(xin.dtype), dx.astype(xin.dtype),
-            mask.astype(xin.dtype), win, ks, g)
+            xin, dy, dx, mask.astype(xin.dtype), win, ks, g)
 
 
 class FeatureAdaption(nn.Module):

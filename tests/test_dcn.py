@@ -33,8 +33,9 @@ def test_bilinear_sample_matches_naive_incl_borders():
     sx[0, 0, :6] = [w - 1.0, 0.0, w - 0.5, 0.25, -0.75, w - 0.01]
 
     xg = jnp.asarray(x.reshape(1, h * w, g, cg).transpose(0, 2, 1, 3))
+    quad = dcn.build_quad(xg, h, w)
     got = np.asarray(dcn._bilinear_sample(
-        xg, jnp.asarray(sy), jnp.asarray(sx), h, w))
+        quad, jnp.asarray(sy), jnp.asarray(sx), jnp.ones((1, g, s)), h, w))
 
     for gi in range(g):
         ref = _naive_bilinear(x[0, :, :, gi * cg:(gi + 1) * cg], sy[0, gi], sx[0, gi])
@@ -70,13 +71,16 @@ def test_bilinear_custom_vjp_matches_autodiff():
     sy = jnp.asarray((rng.rand(b, g, s) * 10 - 1.5).astype(np.float32))
     sx = jnp.asarray((rng.rand(b, g, s) * 12 - 1.5).astype(np.float32))
 
-    f_custom = lambda x_, a, c: jnp.sum(dcn._bilinear_sample(x_, a, c, h, w) ** 2)
-    f_auto = lambda x_, a, c: jnp.sum(
-        dcn._bilinear_sample_impl(x_, a, c, h, w)[0] ** 2)
-    np.testing.assert_allclose(float(f_custom(x, sy, sx)),
-                               float(f_auto(x, sy, sx)), rtol=1e-6)
-    gc = jax.grad(f_custom, (0, 1, 2))(x, sy, sx)
-    ga = jax.grad(f_auto, (0, 1, 2))(x, sy, sx)
+    mod = jnp.asarray((0.2 + rng.rand(b, g, s)).astype(np.float32))
+
+    f_custom = lambda x_, a, c, m: jnp.sum(
+        dcn._bilinear_sample(dcn.build_quad(x_, h, w), a, c, m, h, w) ** 2)
+    f_auto = lambda x_, a, c, m: jnp.sum(
+        dcn._quad_sample_impl(dcn.build_quad(x_, h, w), a, c, m, h, w)[0] ** 2)
+    np.testing.assert_allclose(float(f_custom(x, sy, sx, mod)),
+                               float(f_auto(x, sy, sx, mod)), rtol=1e-6)
+    gc = jax.grad(f_custom, (0, 1, 2, 3))(x, sy, sx, mod)
+    ga = jax.grad(f_auto, (0, 1, 2, 3))(x, sy, sx, mod)
     for a, c in zip(ga, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
