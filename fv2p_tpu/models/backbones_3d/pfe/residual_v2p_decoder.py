@@ -70,11 +70,10 @@ class ResidualVoxelToPointDecoder(nn.Module):
         points = batch_dict['points']            # (B, P, 3+)
         points_valid = batch_dict['points_valid']
 
-        def fps_one(p, v):
-            idx = pointops.farthest_point_sample(p[:, :3], v, num_kp)
-            return p[idx, :3]
-
-        keypoints = jax.vmap(fps_one)(points, points_valid)  # (B, K, 3)
+        kp_idx = pointops.farthest_point_sample_batch(
+            points[..., :3], points_valid, num_kp)
+        keypoints = jnp.take_along_axis(
+            points[..., :3], kp_idx[..., None], axis=1)      # (B, K, 3)
         batch_size = keypoints.shape[0]
 
         ms = batch_dict['multi_scale_3d_features']

@@ -57,11 +57,10 @@ class VoxelSetAbstraction(nn.Module):
         points_valid = batch_dict['points_valid']
         batch_size = points.shape[0]
 
-        def fps_one(p, v):
-            idx = pointops.farthest_point_sample(p[:, :3], v, num_kp)
-            return p[idx, :3]
-
-        keypoints = jax.vmap(fps_one)(points, points_valid)    # (B, K, 3)
+        kp_idx = pointops.farthest_point_sample_batch(
+            points[..., :3], points_valid, num_kp)
+        keypoints = jnp.take_along_axis(
+            points[..., :3], kp_idx[..., None], axis=1)        # (B, K, 3)
 
         feats_list = []
         if 'bev' in cfg.FEATURES_SOURCE:

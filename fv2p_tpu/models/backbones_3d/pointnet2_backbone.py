@@ -23,10 +23,8 @@ class _MSGLevel(nn.Module):
     def __call__(self, xyz, valid, feats, *, train: bool):
         """xyz (B, N, 3), valid (B, N), feats (B, N, C) or None.
         Returns new_xyz (B, npoint, 3), new_valid, new_feats."""
-        def fps_one(p, v):
-            return pointops.farthest_point_sample(p, v, self.npoint)
-
-        idx = jax.vmap(fps_one)(xyz, valid)              # (B, npoint)
+        idx = pointops.farthest_point_sample_batch(
+            xyz, valid, self.npoint)                     # (B, npoint)
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)
         new_valid = jnp.take_along_axis(valid, idx, axis=1)
 

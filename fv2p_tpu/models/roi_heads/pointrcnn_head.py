@@ -87,9 +87,8 @@ class PointRCNNHead(nn.Module):
         for k in range(len(sa.NPOINTS)):
             npoint = int(sa.NPOINTS[k])
             if npoint > 0:
-                idx = jax.vmap(lambda p, v, n=npoint:
-                               pointops.farthest_point_sample(p, v, n))(
-                    cur_xyz, cur_valid)
+                idx = pointops.farthest_point_sample_batch(
+                    cur_xyz, cur_valid, npoint)
                 new_xyz = jnp.take_along_axis(cur_xyz, idx[..., None], axis=1)
                 new_valid = jnp.take_along_axis(cur_valid, idx, axis=1)
                 gxyz, gfeat, _ = jax.vmap(

@@ -1,0 +1,90 @@
+"""Pallas TPU kernel for exact farthest-point sampling.
+
+The XLA formulation (unrolled ``lax.scan`` in ``pointops``) is
+dispatch-bound: every one of the K sequential selections costs a handful of
+small HBM-roundtrip kernels (~5 us each -> ~90 ms at K=16384). Here the
+whole loop runs inside ONE kernel with the point cloud resident in VMEM, so
+a selection is ~10 vector passes over N lanes (distance update, min,
+argmax, coordinate extraction) with no dispatch or HBM traffic. All batch
+rows advance in lockstep — a (B, N) row block costs the same VPU passes as
+one row for B <= 8 (one sublane tile), so batching is nearly free.
+
+No dynamic indexing is used anywhere: the selected points' coordinates are
+extracted with masked row sums over an iota, and the output index block is
+updated with a masked where — both plain vector ops.
+
+Semantics match ``pointops.farthest_point_sample`` (reference
+``sampling_gpu.cu``): selection 0 is the first valid point, ties in the
+argmax resolve to the lowest index, invalid points never win.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e10
+
+
+def _fps_kernel(x_ref, y_ref, z_ref, valid_ref, out_ref, dists, num_samples):
+    b, n = x_ref.shape
+    x = x_ref[:, :]
+    y = y_ref[:, :]
+    z = z_ref[:, :]
+    v = valid_ref[:, :] > 0
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (b, num_samples), 1)
+
+    dists[:, :] = jnp.where(v, _BIG, -_BIG)
+
+    def rowmin(a):
+        return jnp.min(a, axis=-1, keepdims=True)
+
+    def argmax_first(rows):
+        # Mosaic's argmax tie-breaking is unspecified; emulate jnp.argmax's
+        # lowest-index-wins with a row max + masked index-min
+        m = jnp.max(rows, axis=-1, keepdims=True)
+        return rowmin(jnp.where(rows == m, iota_n, n)).astype(jnp.int32)
+
+    # selection 0: first valid point of each row
+    first = rowmin(jnp.where(v, iota_n, n)).astype(jnp.int32)   # (B, 1)
+    out_ref[:, :] = jnp.broadcast_to(first, (b, num_samples))
+
+    def body(k, last):
+        sel = iota_n == last                                    # (B, N)
+        cx = jnp.sum(jnp.where(sel, x, 0.0), axis=-1, keepdims=True)
+        cy = jnp.sum(jnp.where(sel, y, 0.0), axis=-1, keepdims=True)
+        cz = jnp.sum(jnp.where(sel, z, 0.0), axis=-1, keepdims=True)
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        nd = jnp.minimum(dists[:, :], jnp.where(v, d, -_BIG))
+        dists[:, :] = nd
+        idx = argmax_first(nd)                                  # (B, 1)
+        out_ref[:, :] = jnp.where(iota_k == k, idx, out_ref[:, :])
+        return idx
+
+    jax.lax.fori_loop(1, num_samples, body, first)
+
+
+@functools.partial(jax.jit, static_argnames=('num_samples', 'interpret'))
+def fps_pallas(points, valid, num_samples, interpret=False):
+    """points (B, N, 3); valid (B, N) bool -> (B, num_samples) int32.
+
+    When fewer than num_samples points are valid, later selections repeat
+    already-selected points (their min-distance is 0 >= -BIG of invalid
+    ones); callers wanting the reference's wraparound padding apply it on
+    top (see pointops.farthest_point_sample).
+    """
+    b, n, _ = points.shape
+    x = points[..., 0]
+    y = points[..., 1]
+    z = points[..., 2]
+    v = valid.astype(jnp.float32)
+    kernel = functools.partial(_fps_kernel, num_samples=num_samples)
+    return pl.pallas_call(
+        kernel,
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+        interpret=interpret,
+    )(x, y, z, v)
