@@ -156,15 +156,24 @@ def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
 
 def _first_k_hits(hits, k):
     """(M, N) bool -> (M, k) int32: indices of the first k True per row,
-    -1 where the row has fewer. Scatter-free — the previous rowwise-scatter
-    formulation serialized on TPU (colliding column indices); this uses a
-    vectorized searchsorted on the row cumsum instead."""
+    -1 where the row has fewer. Scatter-free.
+
+    Two formulations: small rows use a vectorized searchsorted on the row
+    cumsum; large rows use ``top_k`` on the negated masked iota (the first k
+    True indices are the k largest values of -(hit ? i : N)) — measured
+    3.7x faster at (200, 16384) rows since TPU top_k streams the row once
+    instead of the searchsorted's unrolled compare chain."""
     n = hits.shape[-1]
+    if n * k > (1 << 20):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        masked = jnp.where(hits, iota, n)
+        vals, _ = jax.lax.top_k(-masked, k)
+        idx = -vals                                             # ascending
+        return jnp.where(idx < n, idx, -1)
     csum = jnp.cumsum(hits.astype(jnp.int32), axis=-1)          # (M, N)
     targets = jnp.arange(1, k + 1, dtype=csum.dtype)
-    method = 'compare_all' if n * k <= (1 << 20) else 'scan_unrolled'
     idx = jax.vmap(lambda c: jnp.searchsorted(
-        c, targets, side='left', method=method))(csum)          # (M, k)
+        c, targets, side='left', method='compare_all'))(csum)   # (M, k)
     valid = targets[None, :] <= csum[:, -1:]
     return jnp.where(valid, idx.astype(jnp.int32), -1)
 

@@ -211,6 +211,93 @@ def _greedy_by_fixed_point(overlap, valid):
     return keep
 
 
+def _nms_keep_flags(boxes_s, valid, thresh, row_tile):
+    """Dense-path keep flags over score-sorted boxes."""
+    overlap = _overlap_matrix_tiled(boxes_s, thresh, row_tile=row_tile)
+    overlap = overlap & valid[None, :] & valid[:, None]
+    return _greedy_by_fixed_point(overlap, valid)
+
+
+def _nms_keep_flags_blocked(boxes_s, valid, thresh, post_max, row_tile,
+                            block=1024):
+    """Blocked greedy NMS over score-sorted boxes: exact greedy semantics for
+    the first `post_max` kept boxes at a fraction of the O(N^2) clipping cost.
+
+    Greedy NMS only ever tests a candidate against already-KEPT boxes, and
+    callers discard everything past post_max — so once post_max boxes are
+    kept, the remaining candidates cannot change the result. Blocks are
+    processed in score order under ``lax.cond``: a block runs (cross-check
+    vs the kept buffer + internal fixed-point greedy) only while the kept
+    buffer is not yet full. With loose thresholds (e.g. FV2P's 0.85 proposal
+    NMS over 9000 candidates) one block typically fills the buffer, turning
+    a 9000^2 clipping table into ~1024^2 (measured 168 ms -> ~8 ms).
+    """
+    n = boxes_s.shape[0]
+    n_blocks = (n + block - 1) // block
+    pad = n_blocks * block - n
+    boxes_p = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    buf_cap = post_max
+
+    def run_block(carry):
+        kept_boxes, kept_cnt, keep_flags, start = carry
+        blk_boxes = jax.lax.dynamic_slice(boxes_p, (start, 0), (block, 7))
+        blk_valid = jax.lax.dynamic_slice(valid_p, (start,), (block,))
+
+        # cross-suppression vs the kept buffer (same clip kernel as the
+        # internal pass for bitwise-consistent borderline behavior)
+        kept_mask = jnp.arange(buf_cap) < kept_cnt
+        ov_x = _overlap_matrix_rect(blk_boxes, kept_boxes)
+        sup_x = jnp.any((ov_x > thresh) & kept_mask[None, :], axis=1)
+        blk_ok = blk_valid & ~sup_x
+
+        ov = _overlap_matrix_tiled(blk_boxes, thresh, row_tile=row_tile)
+        ov = ov & blk_ok[None, :] & blk_ok[:, None]
+        blk_keep = _greedy_by_fixed_point(ov, blk_ok)
+
+        # append surviving boxes to the kept buffer (score order preserved)
+        pos = kept_cnt + jnp.cumsum(blk_keep.astype(jnp.int32)) - 1
+        ok = blk_keep & (pos < buf_cap)
+        kept_boxes = kept_boxes.at[jnp.where(ok, pos, buf_cap)].set(
+            blk_boxes, mode='drop')
+        kept_cnt = jnp.minimum(
+            kept_cnt + jnp.sum(blk_keep.astype(jnp.int32)), buf_cap)
+        keep_flags = jax.lax.dynamic_update_slice(keep_flags, blk_keep,
+                                                  (start,))
+        return kept_boxes, kept_cnt, keep_flags, start
+
+    def body(carry, b):
+        kept_boxes, kept_cnt, keep_flags, _ = carry
+        carry = (kept_boxes, kept_cnt, keep_flags, b * block)
+        carry = jax.lax.cond(kept_cnt < buf_cap, run_block,
+                             lambda c: c, carry)
+        return carry, None
+
+    init = (jnp.zeros((buf_cap, 7), boxes_s.dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros(n_blocks * block, bool),
+            jnp.zeros((), jnp.int32))
+    (_, _, keep_flags, _), _ = jax.lax.scan(
+        body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return keep_flags[:n]
+
+
+def _overlap_matrix_rect(boxes_a, boxes_b):
+    """(N, 7) x (M, 7) -> (N, M) BEV IoU (rectangular helper)."""
+    ca = _bev_corners_ccw(boxes_a)
+    cb = _bev_corners_ccw(boxes_b)
+    area_a = boxes_a[:, 3] * boxes_a[:, 4]
+    area_b = boxes_b[:, 3] * boxes_b[:, 4]
+    if jax.default_backend() in ('tpu', 'axon'):
+        from ..ops.pallas import rotated_iou
+        ov = rotated_iou.overlap_matrix(ca, cb)
+    else:
+        pa = jnp.broadcast_to(ca[:, None], (ca.shape[0], cb.shape[0], 4, 2))
+        pb = jnp.broadcast_to(cb[None, :], (ca.shape[0], cb.shape[0], 4, 2))
+        ov = _polygon_clip_area(pa, pb)
+    return ov / jnp.clip(area_a[:, None] + area_b[None, :] - ov, min=1e-6)
+
+
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'row_tile'))
 def nms_rotated(boxes, scores, thresh, pre_max=4096, post_max=500, row_tile=256):
     """Greedy rotated NMS, exact semantics of the reference ``nms_gpu`` bitmask
@@ -232,9 +319,11 @@ def nms_rotated(boxes, scores, thresh, pre_max=4096, post_max=500, row_tile=256)
     boxes_s = boxes[order]
     valid = top_scores > -jnp.inf
 
-    overlap = _overlap_matrix_tiled(boxes_s, thresh, row_tile=row_tile)
-    overlap = overlap & valid[None, :] & valid[:, None]
-    keep = _greedy_by_fixed_point(overlap, valid)
+    if n > 2048:
+        keep = _nms_keep_flags_blocked(boxes_s, valid, thresh, post_max,
+                                       row_tile)
+    else:
+        keep = _nms_keep_flags(boxes_s, valid, thresh, row_tile)
 
     # stable-compact kept indices (already score-ordered) to post_max entries
     kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
