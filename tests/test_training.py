@@ -94,3 +94,19 @@ def test_data_parallel_step_8dev():
     diff = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # DDP equivalence: the DP loss is the pmean of per-device losses, each
+    # normalized by its LOCAL foreground counts — exactly the reference's
+    # DDP loss-averaging semantics (NOT a global-batch single-device loss,
+    # which normalizes by global counts). Verify against per-shard
+    # single-device steps on the same sub-batches.
+    single_step = jax.jit(make_train_step(model))
+    shard_losses = []
+    for i in range(8):
+        sub = {k: (v[i:i + 1] if not isinstance(v, dict)
+                   else {kk: vv[i:i + 1] for kk, vv in v.items()})
+               for k, v in batch.items()}
+        _, m_i = single_step(state, sub)
+        shard_losses.append(float(m_i['loss']))
+    np.testing.assert_allclose(float(metrics['loss']),
+                               np.mean(shard_losses), rtol=1e-4)
