@@ -199,8 +199,11 @@ def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
     first = jnp.maximum(idx[:, 0], 0)
     idx = jnp.where(idx >= 0, idx, first[:, None])
 
-    grouped_xyz = xyz[idx] - new_xyz[:, None, :]
-    grouped_feats = feats[idx]
+    # one wide gather for xyz+feats: TPU gather cost is per-entry, so
+    # fusing the two gathers halves it
+    rows = jnp.concatenate([xyz, feats], axis=-1)[idx]
+    grouped_xyz = rows[..., :3] - new_xyz[:, None, :]
+    grouped_feats = rows[..., 3:]
     zero = ~any_neighbor[:, None, None]
     return (jnp.where(zero, 0.0, grouped_xyz),
             jnp.where(zero, 0.0, grouped_feats), any_neighbor)
@@ -236,7 +239,8 @@ def roipoint_pool3d(points, point_feats, points_valid, rois, num_sampled,
     idx = jnp.where(idx >= 0, idx, wrap)
     idx = jnp.maximum(idx, 0)
 
-    pooled = jnp.concatenate([points[idx], point_feats[idx]], axis=-1)
+    # fused single gather (entry-count bound on TPU)
+    pooled = jnp.concatenate([points, point_feats], axis=-1)[idx]
     pooled = jnp.where(empty[:, None, None], 0.0, pooled)
     return pooled, empty
 
