@@ -181,7 +181,6 @@ class KittiDataset(DatasetTemplate):
                                     split='train'):
         """Crop per-object point clouds into the gt database (reference
         kitti_dataset.py:193-243)."""
-        import torch  # noqa: F401  (kept for path parity; not used)
         database_save_path = self.root_path / ('gt_database' if split == 'train'
                                                else 'gt_database_%s' % split)
         db_info_save_path = self.root_path / ('kitti_dbinfos_%s.pkl' % split)

@@ -88,3 +88,12 @@ def save_bev_heatmap(heatmap, output_path='heatmap.png'):
     fig.savefig(output_path, dpi=150, bbox_inches='tight')
     plt.close(fig)
     return output_path
+
+
+def draw_scenes(points, gt_boxes=None, ref_boxes=None, ref_scores=None,
+                ref_labels=None, output_path='scene.png'):
+    """Reference-API alias (``visualize_utils.draw_scenes`` drew a mayavi 3D
+    scene; headless TPU hosts render the BEV projection instead)."""
+    return draw_scenes_bev(points, gt_boxes=gt_boxes, ref_boxes=ref_boxes,
+                           ref_scores=ref_scores, ref_labels=ref_labels,
+                           output_path=output_path)
