@@ -166,3 +166,28 @@ class TestFixedPointEquivalence:
                     if alive[j] and ious[i, j] > thresh:
                         alive[j] = False
             assert got == expect, (trial, got, expect)
+
+
+def test_blocked_nms_matches_dense_first_post():
+    """The blocked greedy path (pre > 2048) must return exactly the same
+    first-post_max kept set as the dense fixed-point path."""
+    rng = np.random.RandomState(7)
+    n = 2600
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = rng.uniform(0, 70, n)
+    boxes[:, 1] = rng.uniform(-35, 35, n)
+    boxes[:, 2] = -1.0
+    boxes[:, 3:6] = [3.9, 1.6, 1.5]
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores)
+    boxes_s = jnp.asarray(boxes[order])
+    valid = jnp.ones(n, bool)
+
+    for thresh, post in ((0.85, 100), (0.1, 64)):
+        dense = np.asarray(iou3d._nms_keep_flags(boxes_s, valid, thresh, 256))
+        blocked = np.asarray(iou3d._nms_keep_flags_blocked(
+            boxes_s, valid, thresh, post, 256, block=512))
+        kd = np.nonzero(dense)[0][:post]
+        kb = np.nonzero(blocked)[0][:post]
+        np.testing.assert_array_equal(kd, kb)
