@@ -43,8 +43,12 @@ def parse_config():
 
 def _restore_variables(model, example_variables, ckpt_path, logger):
     import orbax.checkpoint as ocp
+    path = Path(ckpt_path).resolve()
+    # CheckpointManager step dirs nest the pytree under the 'default' item
+    if (path / 'default' / '_METADATA').exists():
+        path = path / 'default'
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(Path(ckpt_path).resolve())
+    restored = ckptr.restore(path)
     logger.info(f'restored from {ckpt_path}')
     return {'params': restored['params'],
             'batch_stats': restored.get('batch_stats', {})}
