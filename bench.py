@@ -78,4 +78,17 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    # the axon tunnel intermittently kills the TPU worker on compile;
+    # retry once in a fresh process before giving up
+    import os
+    import subprocess
+    try:
+        main()
+    except Exception as e:
+        print(f'# first attempt failed ({type(e).__name__}); retrying once',
+              file=sys.stderr)
+        if os.environ.get('FV2P_BENCH_RETRY') == '1':
+            raise
+        env = dict(os.environ, FV2P_BENCH_RETRY='1')
+        time.sleep(120)
+        sys.exit(subprocess.call([sys.executable, __file__], env=env))
