@@ -24,6 +24,9 @@ A100_BASELINE_SCANS_PER_SEC = 20.0
 
 
 def main():
+    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -48,8 +48,12 @@ def _fps_kernel(x_ref, y_ref, z_ref, valid_ref, out_ref, dists, num_samples):
         m = jnp.max(rows, axis=-1, keepdims=True)
         return rowmin(jnp.where(rows == m, iota_n, n)).astype(jnp.int32)
 
-    # selection 0: first valid point of each row
+    # selection 0: first valid point of each row; a row with zero valid
+    # points would yield n (rowmin of the all-n iota) — clamp to 0 so the
+    # kernel agrees with the XLA scan path (argmax of all-false = 0) and
+    # indices stay in range for downstream gathers
     first = rowmin(jnp.where(v, iota_n, n)).astype(jnp.int32)   # (B, 1)
+    first = jnp.where(first >= n, 0, first)
     out_ref[:, :] = jnp.broadcast_to(first, (b, num_samples))
 
     def body(k, last):

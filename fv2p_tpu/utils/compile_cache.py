@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+The flagship programs take many minutes to compile cold (the round-1 bench
+tail recorded a 901 s compile). Enabling jax's on-disk compilation cache
+makes every second run of the same program — repeated bench runs, ``--eval_all``
+watcher iterations, training restarts, and the test suite — hit the cache and
+skip HLO->LLO compilation entirely.
+
+Call ``enable_persistent_cache()`` before the first ``jax.jit`` execution in
+every entry point (bench.py, tools/train.py, tools/test.py, tests/conftest.py).
+"""
+import os
+from pathlib import Path
+
+_DEFAULT_DIR = Path(__file__).resolve().parents[2] / '.jax_cache'
+
+
+def enable_persistent_cache(cache_dir=None):
+    """Point jax at an on-disk compilation cache (idempotent).
+
+    The cache dir can be overridden with env FV2P_JAX_CACHE_DIR; set it to
+    the empty string to disable.
+    """
+    env = os.environ.get('FV2P_JAX_CACHE_DIR')
+    if env == '':
+        return None
+    path = Path(env) if env else (Path(cache_dir) if cache_dir else _DEFAULT_DIR)
+    path.mkdir(parents=True, exist_ok=True)
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', str(path))
+    # default min-compile-time gate is 1 s; our test-suite programs are
+    # mostly 0.1-5 s compiles, and caching them is the whole point
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    return path

@@ -24,4 +24,8 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 assert jax.devices()[0].platform == 'cpu', jax.devices()

@@ -23,6 +23,25 @@ def test_fps_pallas_matches_scan():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fps_pallas_all_invalid_row():
+    """A row with zero valid points must select index 0 everywhere (in-range)
+    on both the kernel and the XLA scan path (ADVICE r1: the kernel used to
+    return the out-of-range index n)."""
+    rng = np.random.RandomState(2)
+    B, N, K = 2, 64, 16
+    pts = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    valid = np.ones((B, N), bool)
+    valid[1, :] = False
+    valid = jnp.asarray(valid)
+
+    got = np.asarray(fps_pallas(pts, valid, K, interpret=True))
+    ref = np.asarray(jax.vmap(
+        lambda p, v: pointops.farthest_point_sample(p, v, K))(pts, valid))
+    assert (got >= 0).all() and (got < N).all()
+    np.testing.assert_array_equal(got[1], np.zeros(K, np.int32))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_batch_dispatcher_wraparound():
     rng = np.random.RandomState(1)
     B, N, K = 2, 64, 32

@@ -1,0 +1,57 @@
+"""Exact 3-NN search: the memory-bounded chunked-scan formulation
+(pointops.three_nn) must match a brute-force numpy oracle exactly —
+indices, distances, and lowest-index tie-breaking (reference
+pointnet2_batch/src/interpolate_gpu.cu three_nn semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fv2p_tpu.ops import pointops
+
+
+def _brute_3nn(src, valid, query):
+    d2 = ((query[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    d2 = np.where(valid[None, :], d2, 1e10)
+    idx = np.argsort(d2, axis=-1, kind='stable')[:, :3]
+    return np.take_along_axis(d2, idx, axis=-1), idx
+
+
+def test_three_nn_exact_vs_bruteforce():
+    rng = np.random.RandomState(0)
+    N, M = 777, 513                        # non-multiples of the chunk size
+    src = rng.randn(N, 3).astype(np.float32) * 10
+    query = rng.randn(M, 3).astype(np.float32) * 10
+    valid = rng.rand(N) > 0.2
+
+    d_ref, i_ref = _brute_3nn(src, valid, query)
+    d_got, i_got = jax.jit(
+        lambda s, v, q: pointops.three_nn(s, v, q, src_chunk=256)
+    )(jnp.asarray(src), jnp.asarray(valid), jnp.asarray(query))
+    np.testing.assert_array_equal(np.asarray(i_got), i_ref)
+    np.testing.assert_allclose(np.asarray(d_got), d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_three_nn_tie_breaking_lowest_index():
+    # duplicate source points: ties must resolve to the lowest index
+    src = np.array([[1, 0, 0], [1, 0, 0], [0, 0, 0], [0, 0, 0], [5, 5, 5],
+                    [1, 0, 0]], np.float32)
+    query = np.array([[0.4, 0, 0]], np.float32)
+    valid = np.ones(len(src), bool)
+    _, idx = pointops.three_nn(jnp.asarray(src), jnp.asarray(valid),
+                               jnp.asarray(query), src_chunk=2)
+    np.testing.assert_array_equal(np.asarray(idx)[0], [2, 3, 0])
+
+
+def test_three_nn_under_vmap_matches_single():
+    rng = np.random.RandomState(1)
+    B, N, M = 2, 300, 100
+    src = rng.randn(B, N, 3).astype(np.float32)
+    query = rng.randn(B, M, 3).astype(np.float32)
+    valid = rng.rand(B, N) > 0.3
+
+    d_b, i_b = jax.vmap(
+        lambda s, v, q: pointops.three_nn(s, v, q, src_chunk=128)
+    )(jnp.asarray(src), jnp.asarray(valid), jnp.asarray(query))
+    for b in range(B):
+        d_ref, i_ref = _brute_3nn(src[b], valid[b], query[b])
+        np.testing.assert_array_equal(np.asarray(i_b[b]), i_ref)

@@ -55,6 +55,38 @@ def make_recall_fn(thresh_list):
     return recall_counts
 
 
+def pad_batch_to_size(batch_np, batch_size):
+    """Pad a ragged final batch to the jitted program's static batch size by
+    repeating the last sample (gt_boxes pad with zeros so recall counting
+    never sees duplicate GT). Returns (padded_batch, n_real).
+
+    The reference pads via its eval sampler (datasets/__init__.py:58-63) and
+    index-pairs det_annos with the full info list, so dropping the tail both
+    mis-scores kitti eval and crashes the waymo len(pred)==len(gt) assert.
+    """
+    some = next(v for v in batch_np.values() if isinstance(v, np.ndarray))
+    n_real = len(some)
+    if n_real == batch_size:
+        return batch_np, n_real
+    pad = batch_size - n_real
+
+    def pad_arr(v, zeros=False):
+        tail = np.zeros_like(v[-1:]) if zeros else v[-1:]
+        return np.concatenate([v] + [tail] * pad, axis=0)
+
+    out = {}
+    for k, v in batch_np.items():
+        if isinstance(v, np.ndarray):
+            out[k] = pad_arr(v, zeros=(k == 'gt_boxes'))
+        elif isinstance(v, dict):
+            out[k] = {kk: pad_arr(vv) for kk, vv in v.items()}
+        elif isinstance(v, (list, tuple)):
+            out[k] = list(v) + [v[-1]] * pad
+        else:
+            out[k] = v
+    return out, n_real
+
+
 def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
                    batch_size, save_to_file=False, tb_log=None, epoch_id=0):
     import jax
@@ -84,16 +116,15 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     t_infer = 0.0
     n_scans = 0
     for i, batch_np in enumerate(loader):
-        # drop ragged final batch (static shapes); reference pads instead
-        if batch_np['voxels'].shape[0] != batch_size:
-            continue
+        # pad ragged final batch to the static shape; trim predictions after
+        batch_np, n_real = pad_batch_to_size(batch_np, batch_size)
         batch = to_jnp(batch_np)
         t0 = time.time()
         out = infer(variables, batch)
         pred = {k: np.asarray(out[k]) for k in
                 ('pred_boxes', 'pred_scores', 'pred_labels', 'pred_valid')}
         t_infer += time.time() - t0
-        n_scans += batch_size
+        n_scans += n_real
 
         if 'gt_boxes' in batch:
             counts, counts_r, num_gt = recall_fn(
@@ -108,7 +139,7 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
         annos = test_set.generate_prediction_dicts(
             batch_np, pred, cfg.CLASS_NAMES,
             output_path=eval_dir if save_to_file else None)
-        det_annos += annos
+        det_annos += annos[:n_real]
         if i % 50 == 0:
             logger.info(f'eval batch {i}/{len(loader)}')
 

@@ -4,7 +4,6 @@ and keeps an eval-record file of already-evaluated epochs."""
 import argparse
 import datetime
 import glob
-import re
 import sys
 import time
 from pathlib import Path
@@ -54,19 +53,30 @@ def _restore_variables(model, example_variables, ckpt_path, logger):
             'batch_stats': restored.get('batch_stats', {})}
 
 
-def get_no_evaluated_ckpt(ckpt_dir, record_file, start_epoch):
-    """Oldest not-yet-evaluated checkpoint (reference test.py:67-83).
+def _is_committed_step_dir(path):
+    """A finalized orbax CheckpointManager step dir: fully-numeric name and
+    the written pytree's _METADATA present (in-progress temp dirs like
+    '5.orbax-checkpoint-tmp-<ts>' have suffixed names and no metadata yet)."""
+    p = Path(path)
+    if not p.name.isdigit():
+        return False
+    return ((p / 'default' / '_METADATA').exists()
+            or (p / '_METADATA').exists())
 
-    Orbax checkpoints are directories named by step under ckpt_dir.
-    """
-    ckpt_list = sorted(glob.glob(str(Path(ckpt_dir) / '*')))
-    evaluated = [float(x.strip()) for x in open(record_file).readlines()] \
+
+def get_no_evaluated_ckpt(ckpt_dir, record_file, start_epoch):
+    """Oldest not-yet-evaluated *committed* checkpoint (reference
+    test.py:67-83). Orbax checkpoints are directories named by integer step
+    under ckpt_dir; sort numerically (lexicographic puts 10 before 2) and
+    skip orbax in-progress temp dirs so we never restore a half-written
+    checkpoint while training is still saving."""
+    ckpt_list = [p for p in glob.glob(str(Path(ckpt_dir) / '*'))
+                 if _is_committed_step_dir(p)]
+    ckpt_list.sort(key=lambda p: int(Path(p).name))
+    evaluated = [int(float(x.strip())) for x in open(record_file).readlines()] \
         if Path(record_file).exists() else []
     for cur_ckpt in ckpt_list:
-        m = re.search(r'(\d+)$', Path(cur_ckpt).name)
-        if m is None:
-            continue
-        epoch_id = int(m.group(1))
+        epoch_id = int(Path(cur_ckpt).name)
         if epoch_id not in evaluated and epoch_id >= start_epoch:
             return epoch_id, cur_ckpt
     return -1, None
@@ -74,6 +84,8 @@ def get_no_evaluated_ckpt(ckpt_dir, record_file, start_epoch):
 
 def main():
     args, cfg = parse_config()
+    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

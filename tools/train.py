@@ -53,6 +53,8 @@ def parse_config():
 
 def main():
     args, cfg = parse_config()
+    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
