@@ -68,8 +68,10 @@ class CenterAFHeadSingle(nn.Module):
             pad = (ks - 1) // 2
             x = nn.Conv(ch, (ks, ks), padding=((pad, pad), (pad, pad)),
                         use_bias=False, dtype=dt, name=f'shared_conv{i}')(x)
-            x = nn.BatchNorm(use_running_average=not train, **_BN,
-                             name=f'shared_bn{i}')(x)
+            # torch-default eps here (reference center_af_head_single.py:25
+            # uses bare nn.BatchNorm2d, eps=1e-5), unlike the heads' mod_bn
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-5, name=f'shared_bn{i}')(x)
             x = nn.relu(x)
 
         # ADFA second half: MDCN feature adaptation (:44-49, 79-80)
