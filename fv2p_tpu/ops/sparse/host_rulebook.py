@@ -114,7 +114,8 @@ def _down_tables(coords, n_valid, shape, kernel, stride, padding, out_cap):
           & (ox >= 0) & (ox < ow))
     cand = _encode(oz, oy, ox, (od, oh, ow))[ok]
     out_keys = np.unique(cand)
-    m = min(len(out_keys), out_cap)
+    n_total = len(out_keys)
+    m = min(n_total, out_cap)
     out_keys = out_keys[:m]
 
     o_z = (out_keys % od).astype(np.int64)
@@ -139,7 +140,7 @@ def _down_tables(coords, n_valid, shape, kernel, stride, padding, out_cap):
     k = taps.shape[0]
     out = np.full((k, out_cap), -1, np.int32)
     out[:, :m] = table
-    return out_coords.astype(np.int32), m, out
+    return out_coords.astype(np.int32), m, out, n_total
 
 
 _NATIVE = None
@@ -196,6 +197,7 @@ def _build_sample_rulebooks_native(voxel_coords_zyx, n_valid, spec, lib):
     inv_buf = np.empty(inv_sz, np.int32)
     coords_buf = np.empty(coords_sz, np.int32)
     nvalid_buf = np.empty(len(levels), np.int32)
+    ntotal_buf = np.empty(len(levels), np.int32)
 
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -206,7 +208,8 @@ def _build_sample_rulebooks_native(voxel_coords_zyx, n_valid, spec, lib):
         dp.ctypes.data_as(i32p), caps.ctypes.data_as(i32p),
         subm_flags.ctypes.data_as(u8p), subm_buf.ctypes.data_as(i32p),
         down_buf.ctypes.data_as(i32p), inv_buf.ctypes.data_as(i32p),
-        coords_buf.ctypes.data_as(i32p), nvalid_buf.ctypes.data_as(i32p))
+        coords_buf.ctypes.data_as(i32p), nvalid_buf.ctypes.data_as(i32p),
+        ntotal_buf.ctypes.data_as(i32p))
 
     out = {'coords_x_conv1': _pad_coords(voxel_coords_zyx, caps_d['x_conv1']),
            'nvalid_x_conv1': int(n_valid)}
@@ -229,8 +232,10 @@ def _build_sample_rulebooks_native(voxel_coords_zyx, n_valid, spec, lib):
             caps_d[dst], 3)
         oc += 3 * caps_d[dst]
         out[f'nvalid_{dst}'] = int(nvalid_buf[i + 1])
+        out[f'ntotal_{dst}'] = int(ntotal_buf[i + 1])
         level_shape[dst] = _out_shape(level_shape[src], k, s, p)
     out['shapes'] = level_shape
+    out['ntotal_x_conv1'] = int(n_valid)
     return out
 
 
@@ -256,6 +261,7 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
     coords = voxel_coords_zyx[:n_valid].astype(np.int64)
     out['coords_x_conv1'] = _pad_coords(voxel_coords_zyx, caps['x_conv1'])
     out['nvalid_x_conv1'] = n_valid
+    out['ntotal_x_conv1'] = n_valid
 
     level_coords = {'x_conv1': coords}
     level_shape = {'x_conv1': shape}
@@ -270,8 +276,8 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
     for src, dst, k, s, p in spec['downs']:
         src_c = level_coords[src]
         src_shape = level_shape[src]
-        oc, m, table = _down_tables(src_c, level_nv[src], src_shape, k, s, p,
-                                    caps[dst])
+        oc, m, table, n_total = _down_tables(src_c, level_nv[src], src_shape,
+                                             k, s, p, caps[dst])
         out[f'down_{src}->{dst}'] = table
         # inverse table for the scatter-free conv backward:
         # inv[k, i] = o with table[k, o] = i (unique per tap)
@@ -287,6 +293,7 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
         level_nv[dst] = m
         out[f'coords_{dst}'] = _pad_coords(oc, caps[dst])
         out[f'nvalid_{dst}'] = m
+        out[f'ntotal_{dst}'] = n_total
         if dst in spec['subm_levels']:
             tab = _subm_table(oc.astype(np.int64), m, dst_shape, caps[dst])
             tab = np.where(tab == caps[dst], -1, tab)
@@ -334,6 +341,42 @@ def sort_voxels_by_key(voxel_coords_zyx, shape_zyx):
     return np.argsort(keys, kind='stable')
 
 
+# Per-level overflow accounting. The reference's spconv has dynamic active
+# counts; our fixed per-level capacities (spconv_backbone.level_capacities)
+# silently truncate instead. These counters make truncation observable:
+# samples_over[lvl] counts samples whose pre-truncation active count exceeded
+# the level capacity, max_active[lvl] the largest count ever seen.
+_OVERFLOW_STATS = {'samples': 0, 'samples_over': {}, 'max_active': {},
+                   'dropped': {}}
+
+
+def reset_overflow_stats():
+    _OVERFLOW_STATS.update(samples=0, samples_over={}, max_active={},
+                           dropped={})
+
+
+def get_overflow_stats():
+    """Snapshot of truncation counters since the last reset (plain dict)."""
+    return {'samples': _OVERFLOW_STATS['samples'],
+            'samples_over': dict(_OVERFLOW_STATS['samples_over']),
+            'max_active': dict(_OVERFLOW_STATS['max_active']),
+            'dropped': dict(_OVERFLOW_STATS['dropped'])}
+
+
+def _record_overflow(sample_out, spec):
+    _OVERFLOW_STATS['samples'] += 1
+    for lvl in spec['levels']:
+        tot = sample_out.get(f'ntotal_{lvl}')
+        if tot is None:
+            continue
+        cap = spec['caps'][lvl]
+        st = _OVERFLOW_STATS
+        st['max_active'][lvl] = max(st['max_active'].get(lvl, 0), tot)
+        if tot > cap:
+            st['samples_over'][lvl] = st['samples_over'].get(lvl, 0) + 1
+            st['dropped'][lvl] = st['dropped'].get(lvl, 0) + (tot - cap)
+
+
 def prepare_batch_rulebooks(batch_np, backbone_name, grid_size):
     """Sort a numpy batch's voxels into key order and attach collated
     rulebooks. Mutates and returns ``batch_np`` (numpy arrays, pre-device).
@@ -355,8 +398,9 @@ def prepare_batch_rulebooks(batch_np, backbone_name, grid_size):
         for key in ('voxels', 'voxel_coords', 'voxel_num_points'):
             arr = batch_np[key][i]
             arr[:n] = arr[:n][order]
-        samples.append(build_sample_rulebooks(
-            batch_np['voxel_coords'][i], n, spec))
+        sample = build_sample_rulebooks(batch_np['voxel_coords'][i], n, spec)
+        _record_overflow(sample, spec)
+        samples.append(sample)
     rb = collate_rulebooks(samples, spec)
     batch_np['rulebooks'] = rb
     return batch_np

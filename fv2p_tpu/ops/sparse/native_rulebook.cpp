@@ -165,12 +165,14 @@ extern "C" {
 //   inv_out:    concat of (K_i, caps[i])
 //   coords_out: concat of (caps[i], 3) for levels 1..n_downs (downsampled)
 //   nvalid_out: int32[n_downs+1] (slot 0 = n_valid input)
+//   ntotal_out: int32[n_downs+1] pre-truncation active count per level;
+//               ntotal > cap means rows were silently dropped (overflow)
 void build_rulebooks(const int32_t* coords, int32_t n_valid,
                      const int32_t* shape1, int32_t n_downs,
                      const int32_t* down_params, const int32_t* caps,
                      const uint8_t* subm_flags, int32_t* subm_out,
                      int32_t* down_out, int32_t* inv_out, int32_t* coords_out,
-                     int32_t* nvalid_out) {
+                     int32_t* nvalid_out, int32_t* ntotal_out) {
   Level L;
   L.d = shape1[0];
   L.h = shape1[1];
@@ -184,6 +186,7 @@ void build_rulebooks(const int32_t* coords, int32_t n_valid,
   }
   L.map.build(L.keys);
   nvalid_out[0] = n_valid;
+  ntotal_out[0] = n_valid;
 
   int32_t* subm_ptr = subm_out;
   int32_t* down_ptr = down_out;
@@ -295,6 +298,7 @@ void build_rulebooks(const int32_t* coords, int32_t n_valid,
     std::memcpy(coords_ptr, O.coords.data(), sizeof(int32_t) * 3 * m);
     coords_ptr += 3 * static_cast<size_t>(cap_dst);
     nvalid_out[di + 1] = m;
+    ntotal_out[di + 1] = static_cast<int32_t>(cand.size());
 
     if (subm_flags[di + 1]) {
       subm_table(O, 3, 3, 3, cap_dst, subm_ptr);

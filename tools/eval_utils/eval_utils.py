@@ -146,6 +146,15 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     sec_per_example = t_infer / max(n_scans, 1)
     logger.info('sec_per_example: %.4f' % sec_per_example)
 
+    from fv2p_tpu.ops.sparse import host_rulebook
+    of = host_rulebook.get_overflow_stats()
+    if of['samples_over']:
+        logger.warning('rulebook capacity overflow (silent truncation!): %s'
+                       % of)
+    elif of['samples']:
+        logger.info('rulebook overflow check: clean over %d samples, '
+                    'max_active=%s' % (of['samples'], of['max_active']))
+
     ret_dict = {}
     if total_gt > 0:
         for t in thresh_list:

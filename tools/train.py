@@ -209,6 +209,13 @@ def main():
                             tb_log.add_scalar('train/' + k, v, it)
         mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
         logger.info(f'saved checkpoint epoch {epoch + 1}')
+        from fv2p_tpu.ops.sparse import host_rulebook
+        of = host_rulebook.get_overflow_stats()
+        if of['samples_over']:
+            logger.warning('rulebook capacity overflow (silent truncation!): '
+                           '%s — raise MAX_NUMBER_OF_VOXELS or level caps'
+                           % of)
+        host_rulebook.reset_overflow_stats()
     mgr.wait_until_finished()
     logger.info('**********************End training**********************')
 
