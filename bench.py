@@ -1,11 +1,16 @@
-"""End-to-end inference benchmark on the real TPU chip.
+"""End-to-end inference benchmark on the real TPU chip — both flagships.
 
-Flagship config: MGAF-3DSSD KITTI Car (mgaf-3dssd.yaml), synthetic scans at
-realistic sparsity (~18k occupied voxels of the 0.05m grid), full pipeline:
-mean-VFE -> sparse backbone -> BEV+DCN -> CenterAF decode -> rotated NMS.
+MGAF-3DSSD KITTI Car (mgaf-3dssd.yaml) and FromVoxelToPoint (fv2p.yaml,
+two-pass IoU-aligned RoI head), synthetic scans with surface-clustered
+occupancy (~14k occupied voxels of the 0.05m grid, ground band + object
+clusters like a real LiDAR scan), full pipeline: mean-VFE -> sparse
+backbone -> BEV+DCN -> CenterAF decode -> rotated NMS (-> RoI refinement
+for FV2P).
 
-Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "scans/sec/chip", "vs_baseline": N}
+Prints exactly one JSON line; the primary metric is MGAF throughput and the
+FV2P number rides along in the same object:
+  {"metric": ..., "value": N, "unit": "scans/sec/chip", "vs_baseline": N,
+   "fv2p_value": N, "fv2p_vs_baseline": N}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
 against an estimated 20 scans/sec for the CUDA reference's eval
@@ -23,22 +28,10 @@ sys.path.insert(0, str(REPO))
 A100_BASELINE_SCANS_PER_SEC = 20.0
 
 
-def main():
-    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
-
-    import jax
-    import jax.numpy as jnp
-
-    import __graft_entry__ as ge
-
-    batch_size = 4
-    n_cap = 16000
-    n_fill = 14000
-
+def bench_model(ge, jax, jnp, cfg_path, n_points, batch_size=4, iters=10):
     cfg, model, variables, batch = ge._flagship(
-        batch_size=batch_size, n_cap=n_cap, n_fill=n_fill,
-        compute_dtype=jnp.bfloat16)
+        batch_size=batch_size, n_cap=16000, n_fill=14000,
+        compute_dtype=jnp.bfloat16, cfg_path=cfg_path, n_points=n_points)
     batch.pop('gt_boxes')
 
     @jax.jit
@@ -53,31 +46,48 @@ def main():
 
     # compile + warmup (also compiles the forcing sum)
     t0 = time.time()
-    boxes, scores, labels = infer(variables, batch)
-    force(boxes)
+    force(infer(variables, batch)[0])
     compile_s = time.time() - t0
     force(infer(variables, batch)[0])
 
     # steady state: device executes enqueued programs in order, so forcing
     # the last result bounds the whole loop.
-    iters = 10
     t0 = time.time()
     for _ in range(iters):
         boxes, scores, labels = infer(variables, batch)
     force(boxes)
     dt = (time.time() - t0) / iters
-    scans_per_sec = batch_size / dt
+    return batch_size / dt, compile_s, dt / batch_size
+
+
+def main():
+    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    mgaf_sps, mgaf_comp, mgaf_ms = bench_model(
+        ge, jax, jnp, 'tools/cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd.yaml',
+        n_points=0)
+    fv2p_sps, fv2p_comp, fv2p_ms = bench_model(
+        ge, jax, jnp, 'tools/cfgs/kitti_models/FV2P/fv2p.yaml',
+        n_points=18000)
 
     result = {
         'metric': 'mgaf3dssd_kitti_e2e_inference',
-        'value': round(scans_per_sec, 3),
+        'value': round(mgaf_sps, 3),
         'unit': 'scans/sec/chip',
-        'vs_baseline': round(scans_per_sec / A100_BASELINE_SCANS_PER_SEC, 3),
+        'vs_baseline': round(mgaf_sps / A100_BASELINE_SCANS_PER_SEC, 3),
+        'fv2p_value': round(fv2p_sps, 3),
+        'fv2p_vs_baseline': round(fv2p_sps / A100_BASELINE_SCANS_PER_SEC, 3),
     }
     print(json.dumps(result))
-    print(f'# compile={compile_s:.1f}s  batch={batch_size}  '
-          f'sec_per_example={dt / batch_size * 1000:.2f}ms  '
-          f'device={jax.devices()[0].device_kind}', file=sys.stderr)
+    print(f'# mgaf: compile={mgaf_comp:.1f}s sec_per_example={mgaf_ms*1000:.2f}ms | '
+          f'fv2p: compile={fv2p_comp:.1f}s sec_per_example={fv2p_ms*1000:.2f}ms | '
+          f'batch=4 device={jax.devices()[0].device_kind}', file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -39,6 +39,33 @@ def shard_batch(mesh, batch):
     return jax.tree_util.tree_map(lambda v: jax.device_put(v, sharding), batch)
 
 
+def shard_batch_global(mesh, batch):
+    """Multi-process-safe sharding: every process holds the FULL global batch
+    (numpy) and contributes only its addressable shards. Works identically in
+    single-process mode, so callers need no process-count branching."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(v):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, sharding,
+                                            lambda idx: v[idx])
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_global(mesh, tree):
+    """Replicate host values over a (possibly multi-process) mesh. Every
+    process must pass identical values (same seeds), as NCCL DDP assumes."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(v):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, sharding,
+                                            lambda idx: v[idx])
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def make_dp_train_step(model, mesh):
     """Jitted data-parallel train step over the mesh.
 

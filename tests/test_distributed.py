@@ -1,0 +1,65 @@
+"""Multi-process data parallelism: 2 processes x 4 CPU devices must form one
+8-device mesh and produce the same step metrics as the single-process
+8-device run (the reference's DDP guarantee, ``common_utils.py:125-165``)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def _launch_workers(n_proc=2):
+    port = _free_port()
+    procs = []
+    for rank in range(n_proc):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f'localhost:{port}',
+            JAX_NUM_PROCESSES=str(n_proc),
+            JAX_PROCESS_ID=str(rank),
+            XLA_FLAGS='--xla_force_host_platform_device_count=4',
+            JAX_PLATFORMS='cpu',
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / 'tests' / 'dist_worker.py')],
+            env=env, cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    results = {}
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f'rank {rank} failed:\n{out[-4000:]}'
+        line = [ln for ln in out.splitlines() if ln.startswith('DIST_RESULT ')]
+        assert line, f'rank {rank} printed no result:\n{out[-4000:]}'
+        results[rank] = json.loads(line[-1][len('DIST_RESULT '):])
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process():
+    results = _launch_workers(2)
+    assert results[0]['n_devices'] == 8
+    assert results[1]['n_devices'] == 8
+
+    # ranks agree bit-for-bit (same global program, replicated outputs)
+    for key in ('loss', 'grad_norm', 'param_sum'):
+        np.testing.assert_allclose(results[0][key], results[1][key],
+                                   rtol=1e-6, err_msg=key)
+
+    # and match the single-process 8-device run of the same step
+    from tests.dist_worker import run_one_step
+    single = run_one_step()
+    for key in ('loss', 'grad_norm', 'param_sum'):
+        np.testing.assert_allclose(single[key], results[0][key],
+                                   rtol=2e-4, err_msg=key)

@@ -71,8 +71,16 @@ def main():
 
     if args.dist:
         # multi-host data parallelism over DCN/ICI (north-star scale-out;
-        # replaces the reference's torch.distributed.launch + NCCL DDP)
-        jax.distributed.initialize()
+        # replaces the reference's torch.distributed.launch + NCCL DDP).
+        # On TPU pods initialize() auto-discovers the coordinator; off-pod
+        # the dist_train.sh env contract supplies it explicitly.
+        if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+            jax.distributed.initialize(
+                coordinator_address=os.environ['JAX_COORDINATOR_ADDRESS'],
+                num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+                process_id=int(os.environ['JAX_PROCESS_ID']))
+        else:
+            jax.distributed.initialize()
 
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
