@@ -12,10 +12,15 @@ FV2P number rides along in the same object:
   {"metric": ..., "value": N, "unit": "scans/sec/chip", "vs_baseline": N,
    "fv2p_value": N, "fv2p_vs_baseline": N}
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
-against an estimated 20 scans/sec for the CUDA reference's eval
-`sec_per_example` on a single A100 (the BASELINE.json north star is 5x A100
-throughput on a v5e-8, i.e. 12.5 scans/sec/chip at parity-5x).
+vs_baseline: the reference publishes no numbers at all (BASELINE.md:
+"published": {}), so there is nothing measured to ratio against. We instead
+normalize against the NORTH-STAR PER-CHIP TARGET from the driver's
+BASELINE.json: "v5e-8 at >=5x A100 scans/sec". Assuming the CUDA reference
+evals at ~20 scans/s on one A100 (batch-4 eval at ~50 ms/scan, in line with
+OpenPCDet-class two-stage detectors; an estimate, documented in BASELINE.md
+-- the reference emits only `sec_per_example` and never published a value),
+the per-chip parity point is 5*20/8 = 12.5 scans/s. vs_baseline >= 1.0
+therefore means the north-star throughput is met on this chip.
 """
 import json
 import sys
@@ -25,7 +30,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-A100_BASELINE_SCANS_PER_SEC = 20.0
+NORTH_STAR_SCANS_PER_SEC_PER_CHIP = 12.5  # see module docstring + BASELINE.md
 
 
 def bench_model(ge, jax, jnp, cfg_path, n_points, batch_size=4, iters=10):
@@ -80,9 +85,9 @@ def main():
         'metric': 'mgaf3dssd_kitti_e2e_inference',
         'value': round(mgaf_sps, 3),
         'unit': 'scans/sec/chip',
-        'vs_baseline': round(mgaf_sps / A100_BASELINE_SCANS_PER_SEC, 3),
+        'vs_baseline': round(mgaf_sps / NORTH_STAR_SCANS_PER_SEC_PER_CHIP, 3),
         'fv2p_value': round(fv2p_sps, 3),
-        'fv2p_vs_baseline': round(fv2p_sps / A100_BASELINE_SCANS_PER_SEC, 3),
+        'fv2p_vs_baseline': round(fv2p_sps / NORTH_STAR_SCANS_PER_SEC_PER_CHIP, 3),
     }
     print(json.dumps(result))
     print(f'# mgaf: compile={mgaf_comp:.1f}s sec_per_example={mgaf_ms*1000:.2f}ms | '
