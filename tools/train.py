@@ -28,6 +28,9 @@ def parse_config():
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
                         help='set extra config keys if needed')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--ckpt_save_interval', type=int, default=1,
+                        help='save a checkpoint every N epochs '
+                             '(reference train.py:35)')
     parser.add_argument('--profile_steps', type=str, default=None,
                         help='"START,END": capture a jax.profiler trace of these '
                              'global steps into <output_dir>/profile')
@@ -215,8 +218,9 @@ def main():
                     for k, v in m.items():
                         if k not in ('loss', 'epoch', 'it'):
                             tb_log.add_scalar('train/' + k, v, it)
-        mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
-        logger.info(f'saved checkpoint epoch {epoch + 1}')
+        if (epoch + 1) % args.ckpt_save_interval == 0 or epoch + 1 == epochs:
+            mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
+            logger.info(f'saved checkpoint epoch {epoch + 1}')
         from fv2p_tpu.ops.sparse import host_rulebook
         of = host_rulebook.get_overflow_stats()
         if of['samples_over']:
