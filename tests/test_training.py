@@ -110,3 +110,31 @@ def test_data_parallel_step_8dev():
         shard_losses.append(float(m_i['loss']))
     np.testing.assert_allclose(float(metrics['loss']),
                                np.mean(shard_losses), rtol=1e-4)
+
+
+def test_overfit_sanity_loss_decreases():
+    """Learning-sanity gate (VERDICT r1): repeated steps on one planted-object
+    batch must cut the loss substantially — params merely *changing* is not
+    evidence the detector can learn."""
+    from fv2p_tpu.config import EasyDict
+    from fv2p_tpu.models import build_network
+    from tests.test_mgaf_model import TINY_MODEL_CFG, make_batch
+
+    batch, meta = make_batch()
+    model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
+                         dataset_meta=meta)
+    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=True)
+    optim_cfg = EasyDict({'OPTIMIZER': 'adam', 'LR': 0.003,
+                          'WEIGHT_DECAY': 0.0, 'GRAD_NORM_CLIP': 10})
+    state = create_train_state(
+        model, variables, optimization.build_optimizer(optim_cfg, 100))
+    step = jax.jit(make_train_step(model))
+
+    first = None
+    for _ in range(40):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics['loss'])
+    last = float(metrics['loss'])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
