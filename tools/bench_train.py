@@ -13,6 +13,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', choices=['mgaf', 'fv2p'], default='mgaf')
     parser.add_argument('--batch_size', type=int, default=4)
+    parser.add_argument('--out', type=str, default=None,
+                        help='write a JSON artifact with the measured numbers')
     args = parser.parse_args()
 
     import jax
@@ -60,6 +62,15 @@ def main():
     print('%s train step: %.0f ms (batch %d, %.2f scans/s/chip), loss %.3f'
           % (args.model, dt * 1e3, args.batch_size,
              args.batch_size / dt, loss))
+    if args.out:
+        import json
+        with open(args.out, 'w') as f:
+            json.dump({'model': args.model, 'batch_size': args.batch_size,
+                       'step_ms': round(dt * 1e3, 1),
+                       'scans_per_sec_per_chip': round(args.batch_size / dt, 2),
+                       'loss': round(loss, 4),
+                       'device': str(jax.devices()[0])}, f, indent=2)
+            f.write('\n')
 
 
 if __name__ == '__main__':
