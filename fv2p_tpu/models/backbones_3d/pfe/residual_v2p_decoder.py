@@ -46,6 +46,20 @@ def _interpolate_level(st, downsample_times, voxel_size, pc_range, keypoints,
     centers = common_utils.get_voxel_centers(
         coords[:, 1:4], downsample_times, voxel_size, pc_range)  # (N, 3)
     valid = st.valid_mask()
+
+    if st.sample_cap > 0 and st.batch_size == batch_size:
+        # host-rulebook layout: sample b's voxels are rows
+        # [b*cap, (b+1)*cap) — restrict each sample's 3-NN scan to its own
+        # block instead of masking the full batch-flat array (a batch_size x
+        # FLOP cut; masked-out foreign rows are +inf distance either way, so
+        # the selected neighbors and weights are identical)
+        cap = st.sample_cap
+        return jax.vmap(pointops.three_nn_interpolate)(
+            centers.reshape(batch_size, cap, 3),
+            valid.reshape(batch_size, cap),
+            st.features.reshape(batch_size, cap, -1),
+            keypoints)
+
     b_idx = coords[:, 0]
 
     def per_sample(bs, kp):

@@ -37,6 +37,10 @@ class SparseTensor:
         start: (B*H*W,) int32 row index of each column's first voxel.
         spatial_shape: static (D, H, W).
         batch_size: static int.
+        sample_cap: static int; when > 0, rows are per-sample blocks of this
+            fixed size — sample b's voxels live in rows
+            [b*sample_cap, (b+1)*sample_cap) (host-rulebook layout). 0 means
+            globally sorted with dynamic per-sample boundaries.
     """
     features: jnp.ndarray
     keys: jnp.ndarray
@@ -47,6 +51,7 @@ class SparseTensor:
     spatial_shape: Tuple[int, int, int] = flax.struct.field(
         pytree_node=False, default=(0, 0, 0))
     batch_size: int = flax.struct.field(pytree_node=False, default=1)
+    sample_cap: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self):
@@ -208,7 +213,7 @@ def from_host_coords(coords_bzyx_per_sample, valid, features_flat,
     return SparseTensor(features=feats, keys=keys,
                         nvalid=jnp.sum(vflat.astype(jnp.int32)),
                         spatial_shape=tuple(int(x) for x in spatial_shape),
-                        batch_size=int(batch_size))
+                        batch_size=int(batch_size), sample_cap=int(cap))
 
 
 def from_occupancy_grid(grid_flat, capacity, spatial_shape, batch_size,

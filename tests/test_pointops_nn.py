@@ -55,3 +55,41 @@ def test_three_nn_under_vmap_matches_single():
     for b in range(B):
         d_ref, i_ref = _brute_3nn(src[b], valid[b], query[b])
         np.testing.assert_array_equal(np.asarray(i_b[b]), i_ref)
+
+
+def test_interpolate_level_blocked_matches_flat():
+    """The decoder's per-sample blocked 3-NN path (host-rulebook layout,
+    SparseTensor.sample_cap > 0) must produce the same interpolation as the
+    batch-flat masked scan it replaces."""
+    from fv2p_tpu.models.backbones_3d.pfe.residual_v2p_decoder import \
+        _interpolate_level
+    from fv2p_tpu.ops.sparse.sparse_tensor import from_host_coords
+
+    rng = np.random.RandomState(3)
+    b, cap, c, k = 3, 200, 8, 64
+    shape = (16, 32, 32)
+    coords = np.zeros((b, cap, 3), np.int64)
+    valid = np.zeros((b, cap), bool)
+    feats = rng.randn(b * cap, c).astype(np.float32)
+    for i in range(b):
+        nv = rng.randint(cap // 2, cap)
+        zyx = rng.randint(0, 16, size=(nv, 3))
+        key = (zyx[:, 1] * shape[2] + zyx[:, 2]) * shape[0] + zyx[:, 0]
+        order = np.argsort(np.unique(key))
+        key_u = np.unique(key)[order]
+        z = key_u % shape[0]
+        yx = key_u // shape[0]
+        coords[i, :len(key_u)] = np.stack(
+            [z, yx // shape[2], yx % shape[2]], axis=-1)
+        valid[i, :len(key_u)] = True
+
+    st = from_host_coords(jnp.asarray(coords, jnp.int32), jnp.asarray(valid),
+                          jnp.asarray(feats), shape, b)
+    assert st.sample_cap == cap
+    kp = rng.uniform(0, 1.6, size=(b, k, 3)).astype(np.float32)
+    args = (1, (0.1, 0.1, 0.1), (0, 0, 0, 1.6, 1.6, 1.6), jnp.asarray(kp), b)
+
+    blocked = _interpolate_level(st, *args)
+    flat = _interpolate_level(st.replace(sample_cap=0), *args)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(flat),
+                               rtol=1e-5, atol=1e-5)
