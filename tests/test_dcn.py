@@ -84,3 +84,55 @@ def test_bilinear_custom_vjp_matches_autodiff():
     for a, c in zip(ga, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_mdcn_whole_conv_vjp_matches_autodiff():
+    """The whole-conv custom VJP (single d(quad) accumulator across all
+    taps/chunks) must match autodiff through a reference formulation built
+    from _quad_sample_impl."""
+    import jax
+    rng = np.random.RandomState(7)
+    b, h, w, c, co, g = 2, 6, 5, 8, 4, 2
+    ks = 3
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    dy = jnp.asarray(0.8 * rng.randn(b, h, w, g * 9).astype(np.float32))
+    dx = jnp.asarray(0.8 * rng.randn(b, h, w, g * 9).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, h, w, g * 9).astype(np.float32))
+    wgt = jnp.asarray(0.3 * rng.randn(9, c, co).astype(np.float32))
+
+    def ref(x, dy, dx, mask, wgt):
+        cg = c // g
+        pad = (ks - 1) // 2
+        ky, kx = np.meshgrid(np.arange(ks), np.arange(ks), indexing='ij')
+        tap_y = jnp.asarray(ky.reshape(-1), jnp.float32) - pad
+        tap_x = jnp.asarray(kx.reshape(-1), jnp.float32) - pad
+        base_y = jnp.asarray(
+            np.repeat(np.arange(h), w).astype(np.float32))
+        base_x = jnp.asarray(np.tile(np.arange(w), h).astype(np.float32))
+        dyr = dy.reshape(b, h * w, g, 9).transpose(3, 0, 2, 1)
+        dxr = dx.reshape(b, h * w, g, 9).transpose(3, 0, 2, 1)
+        mr = mask.reshape(b, h * w, g, 9).transpose(3, 0, 2, 1)
+        xg = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)
+        quad = dcn.build_quad(xg, h, w)
+        w_g = wgt.reshape(9, g, cg, co)
+        out = 0.0
+        for k in range(9):
+            sy = base_y[None, None, :] + tap_y[k] + dyr[k]
+            sx = base_x[None, None, :] + tap_x[k] + dxr[k]
+            sampled = dcn._quad_sample_impl(quad, sy, sx, mr[k], h, w)[0]
+            out = out + jnp.einsum('bgnc,gco->bno', sampled, w_g[k])
+        return out.reshape(b, h, w, co)
+
+    got = dcn.modulated_deform_conv(x, dy, dx, mask, wgt, ks, g)
+    want = ref(x, dy, dx, mask, wgt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    f = lambda *a: jnp.sum(jnp.tanh(
+        dcn.modulated_deform_conv(*a, ks, g)) * 0.3)
+    fr = lambda *a: jnp.sum(jnp.tanh(ref(*a)) * 0.3)
+    gc = jax.grad(f, (0, 1, 2, 3, 4))(x, dy, dx, mask, wgt)
+    ga = jax.grad(fr, (0, 1, 2, 3, 4))(x, dy, dx, mask, wgt)
+    for name, a, c_ in zip(['x', 'dy', 'dx', 'mask', 'w'], ga, gc):
+        np.testing.assert_allclose(np.asarray(c_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
