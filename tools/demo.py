@@ -56,6 +56,8 @@ def load_points(args, cfg):
 
 
 def main():
+    from fv2p_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     args, cfg = parse_config()
     import jax
     import jax.numpy as jnp

@@ -41,13 +41,22 @@ def parse_config():
 
 
 def _restore_variables(model, example_variables, ckpt_path, logger):
+    import numpy as np
     import orbax.checkpoint as ocp
     path = Path(ckpt_path).resolve()
     # CheckpointManager step dirs nest the pytree under the 'default' item
     if (path / 'default' / '_METADATA').exists():
         path = path / 'default'
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
+    # restore to host numpy (device-neutral): the checkpoint records the
+    # sharding it was saved under (e.g. the TPU), which would fail to
+    # restore on a different platform; jit moves the arrays on first use
+    import jax
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    restored = ckptr.restore(path,
+                             args=ocp.args.PyTreeRestore(restore_args=restore_args))
     logger.info(f'restored from {ckpt_path}')
     return {'params': restored['params'],
             'batch_stats': restored.get('batch_stats', {})}
@@ -84,6 +93,8 @@ def get_no_evaluated_ckpt(ckpt_dir, record_file, start_epoch):
 
 def main():
     args, cfg = parse_config()
+    from fv2p_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     from fv2p_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax

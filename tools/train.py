@@ -56,6 +56,8 @@ def parse_config():
 
 def main():
     args, cfg = parse_config()
+    from fv2p_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     from fv2p_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
