@@ -44,11 +44,12 @@ class DatasetTemplate:
         # model config; integer tables built in dataloader workers)
         self.rulebook_spec = None
 
-    def set_rulebook_spec(self, backbone_name):
+    def set_rulebook_spec(self, backbone_name, caps_override=None):
         from ..ops.sparse import host_rulebook
         cap = self.data_processor.max_voxels
         self.rulebook_spec = host_rulebook.backbone_spec(
-            backbone_name, tuple(int(g) for g in self.grid_size), cap)
+            backbone_name, tuple(int(g) for g in self.grid_size), cap,
+            caps_override=caps_override)
 
     @property
     def mode(self):
@@ -124,6 +125,8 @@ class DatasetTemplate:
                 data_dict[key][:n] = data_dict[key][:n][order]
             data_dict['_rb_sample'] = host_rulebook.build_sample_rulebooks(
                 data_dict['voxel_coords'], n, self.rulebook_spec)
+            host_rulebook._record_overflow(data_dict['_rb_sample'],
+                                           self.rulebook_spec)
             data_dict['_rb_spec'] = self.rulebook_spec
         return data_dict
 

@@ -345,7 +345,9 @@ class KittiDataset(DatasetTemplate):
 
         data_dict = self.prepare_data(data_dict=input_dict)
         data_dict['image_shape'] = img_shape
-        data_dict.pop('calib', None)
+        # calib stays in the batch: collate passes it through as a list and
+        # generate_prediction_dicts needs it for the lidar->camera->image
+        # conversion (reference kitti_dataset.py keeps it too)
         return data_dict
 
 

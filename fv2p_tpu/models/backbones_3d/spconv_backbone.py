@@ -46,10 +46,11 @@ def input_sparse_tensor(batch_dict, sparse_shape):
 
 
 def level_capacities(base_capacity):
-    """Default fixed capacities for levels 1..4 + conv_out."""
-    c = base_capacity
-    return {'x_conv1': c, 'x_conv2': c, 'x_conv3': c // 2, 'x_conv4': c // 4,
-            'out': c // 4}
+    """Default fixed capacities for levels 1..4 + conv_out (canonical
+    definition: ops.sparse.host_rulebook.level_capacities — strided sparse
+    convs dilate, so deeper levels need MORE rows than the input)."""
+    from ...ops.sparse.host_rulebook import level_capacities as _lc
+    return _lc(base_capacity)
 
 
 class VoxelResBackBone8x(nn.Module):

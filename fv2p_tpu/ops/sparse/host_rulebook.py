@@ -25,18 +25,41 @@ def _as3(v):
     return (int(v),) * 3
 
 
-def backbone_spec(backbone_name, grid_size, voxel_capacity):
+def level_capacities(base_capacity):
+    """Default fixed per-sample capacities for levels 1..4 + conv_out.
+
+    Strided sparse convs DILATE the active set (each input voxel activates
+    up to 3^3/2^3 output cells), so deeper levels hold MORE voxels than the
+    input, not fewer — measured on this repo's fixtures: x_conv2 ~3.1-3.4x,
+    x_conv3 ~4.1-4.9x, x_conv4 ~1.7-4.3x, out ~1.5-2.7x the input count
+    (the reference's spconv is fully dynamic and never truncates,
+    ``include/spconv/spconv_ops.h:28-141``). The defaults carry margin over
+    every measured factor; configs can tighten them for known-sparser data
+    via MODEL.BACKBONE_3D.LEVEL_CAPACITIES.
+    """
+    c = base_capacity
+    # +64 additive headroom: tiny inputs dilate by up to 8x per stride-2
+    # level (isolated voxels never merge), which a pure multiplier misses
+    return {'x_conv1': c, 'x_conv2': int(3.5 * c) + 64, 'x_conv3': 5 * c + 64,
+            'x_conv4': int(4.5 * c) + 64, 'out': 3 * c + 64}
+
+
+def backbone_spec(backbone_name, grid_size, voxel_capacity,
+                  caps_override=None, strict=True):
     """Static conv topology of a backbone: list of level dicts.
 
     grid_size: (nx, ny, nz) of the voxel grid (sparse z = nz + 1).
-    Capacities follow ``spconv_backbone.level_capacities`` (per-sample).
+    Capacities follow ``level_capacities`` (per-sample); ``caps_override``
+    (dict level -> rows) replaces individual entries. ``strict`` makes
+    ``build_sample_rulebooks`` raise on capacity overflow instead of
+    silently truncating (the reference never truncates).
     """
     assert backbone_name in ('VoxelResBackBone8x', 'VoxelBackBone8x',
                              'UNetV2'), backbone_name
     nx, ny, nz = grid_size
-    c = voxel_capacity
-    caps = {'x_conv1': c, 'x_conv2': c, 'x_conv3': c // 2, 'x_conv4': c // 4,
-            'out': c // 4}
+    caps = level_capacities(voxel_capacity)
+    if caps_override:
+        caps.update({k: int(v) for k, v in caps_override.items()})
     shape1 = (nz + 1, ny, nx)
     return {
         'levels': ['x_conv1', 'x_conv2', 'x_conv3', 'x_conv4', 'out'],
@@ -49,6 +72,7 @@ def backbone_spec(backbone_name, grid_size, voxel_capacity):
             ('x_conv4', 'out', (3, 1, 1), (2, 1, 1), 0),
         ],
         'subm_levels': ['x_conv1', 'x_conv2', 'x_conv3', 'x_conv4'],
+        'strict': bool(strict),
     }
 
 
@@ -252,8 +276,10 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
     """
     lib = _load_native()
     if lib is not None:
-        return _build_sample_rulebooks_native(voxel_coords_zyx, n_valid,
-                                              spec, lib)
+        out = _build_sample_rulebooks_native(voxel_coords_zyx, n_valid,
+                                             spec, lib)
+        _check_strict(out, spec)
+        return out
 
     caps = spec['caps']
     shape = spec['shapes']['x_conv1']
@@ -300,7 +326,28 @@ def build_sample_rulebooks(voxel_coords_zyx, n_valid, spec):
             out[f'subm_{dst}'] = tab
 
     out['shapes'] = {lvl: level_shape[lvl] for lvl in level_shape}
+    _check_strict(out, spec)
     return out
+
+
+def _check_strict(sample_out, spec):
+    """Raise on level-capacity overflow when the spec is strict.
+
+    Truncation silently drops a contiguous spatial region (rows past the cap
+    in sorted key order) — the reference's spconv never truncates, so strict
+    is the default; opt out per-spec for tests that exercise the truncation
+    path."""
+    if not spec.get('strict', False):
+        return
+    over = {lvl: (int(sample_out[f'ntotal_{lvl}']), spec['caps'][lvl])
+            for lvl in spec['levels']
+            if sample_out.get(f'ntotal_{lvl}') is not None
+            and int(sample_out[f'ntotal_{lvl}']) > spec['caps'][lvl]}
+    if over:
+        raise RuntimeError(
+            'sparse level capacity overflow (active > cap): %s — raise '
+            'MODEL.BACKBONE_3D.LEVEL_CAPACITIES or the voxel cap; silent '
+            'truncation would drop a whole spatial region' % over)
 
 
 def _pad_coords(coords, cap):
@@ -377,7 +424,8 @@ def _record_overflow(sample_out, spec):
             st['dropped'][lvl] = st['dropped'].get(lvl, 0) + (tot - cap)
 
 
-def prepare_batch_rulebooks(batch_np, backbone_name, grid_size):
+def prepare_batch_rulebooks(batch_np, backbone_name, grid_size,
+                            caps_override=None, strict=True):
     """Sort a numpy batch's voxels into key order and attach collated
     rulebooks. Mutates and returns ``batch_np`` (numpy arrays, pre-device).
 
@@ -389,7 +437,8 @@ def prepare_batch_rulebooks(batch_np, backbone_name, grid_size):
     b, cap = coords.shape[:2]
     nx, ny, nz = grid_size
     shape1 = (nz + 1, ny, nx)
-    spec = backbone_spec(backbone_name, grid_size, cap)
+    spec = backbone_spec(backbone_name, grid_size, cap,
+                         caps_override=caps_override, strict=strict)
 
     samples = []
     for i in range(b):

@@ -87,8 +87,9 @@ def _overflow_batch(n_cap, n_fill, spread, meta, batch_size=1, seed=0):
 
 
 def test_overflow_counters_fire_on_truncation():
-    """Per-level capacity halving (cap/2 at x_conv3, cap/4 at x_conv4) must be
-    observable when it truncates: VERDICT round 1, weak #6."""
+    """Capacity truncation (forced tiny caps, strict off) must be observable
+    via the overflow counters: VERDICT round 1, weak #6. The DEFAULT caps are
+    dilation-aware and strict mode raises instead of truncating."""
     from fv2p_tpu.datasets import dataset_meta_from_cfg
     meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
     host_rulebook.reset_overflow_stats()
@@ -97,7 +98,9 @@ def test_overflow_counters_fire_on_truncation():
     # n_fill=64 > cap/2=32 overflows x_conv3 and cap/4=16 overflows x_conv4
     batch = _overflow_batch(n_cap=64, n_fill=64, spread=8, meta=meta)
     host_rulebook.prepare_batch_rulebooks(
-        batch, 'VoxelResBackBone8x', meta['grid_size'])
+        batch, 'VoxelResBackBone8x', meta['grid_size'], strict=False,
+        caps_override={'x_conv2': 64, 'x_conv3': 32, 'x_conv4': 16,
+                       'out': 16})
     stats = host_rulebook.get_overflow_stats()
     assert stats['samples'] == 1
     assert stats['samples_over'].get('x_conv3', 0) == 1, stats
@@ -124,7 +127,9 @@ def test_overflow_counts_native_matches_numpy():
     from fv2p_tpu.datasets import dataset_meta_from_cfg
     meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
     spec = host_rulebook.backbone_spec(
-        'VoxelResBackBone8x', meta['grid_size'], 64)
+        'VoxelResBackBone8x', meta['grid_size'], 64, strict=False,
+        caps_override={'x_conv2': 64, 'x_conv3': 32, 'x_conv4': 16,
+                       'out': 16})
     batch = _overflow_batch(n_cap=64, n_fill=48, spread=4, meta=meta)
     coords = batch['voxel_coords'][0]
     order = host_rulebook.sort_voxels_by_key(

@@ -16,6 +16,11 @@ def parse_config():
     parser = argparse.ArgumentParser(description='arg parser')
     parser.add_argument('--cfg_file', type=str, default=None)
     parser.add_argument('--batch_size', type=int, default=None)
+    parser.add_argument('--dtype', choices=['bfloat16', 'float32'],
+                        default='bfloat16',
+                        help='model compute dtype (float32 works around a '
+                             'TPU-runtime fault seen with some trained '
+                             'checkpoints under the bf16 eval program)')
     parser.add_argument('--workers', type=int, default=4)
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
@@ -118,7 +123,8 @@ def main():
         cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, training=False,
         logger=logger)
     if cfg.MODEL.get('BACKBONE_3D') is not None:
-        test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
+        test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
+                              caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
     loader = torch_data.DataLoader(
         test_set, batch_size=batch_size, num_workers=args.workers,
@@ -127,7 +133,7 @@ def main():
     meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, 'test')
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           class_names=cfg.CLASS_NAMES, dataset_meta=meta,
-                          compute_dtype=jnp.bfloat16)
+                          compute_dtype=getattr(jnp, args.dtype))
 
     def to_jnp(batch):
         out = {}

@@ -107,7 +107,8 @@ def main():
         cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, training=True,
         logger=logger)
     if cfg.MODEL.get('BACKBONE_3D') is not None:
-        train_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
+        train_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
+                              caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
     loader = torch_data.DataLoader(
         train_set, batch_size=batch_size, num_workers=args.workers,
@@ -243,7 +244,8 @@ def main():
         test_set = build_dataset(cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
                                  training=False, logger=logger)
         if cfg.MODEL.get('BACKBONE_3D') is not None:
-            test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME)
+            test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
+                              caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
         test_loader = torch_data.DataLoader(
             test_set, batch_size=batch_size, num_workers=args.workers,
             shuffle=False, collate_fn=test_set.collate_batch, drop_last=False)
