@@ -196,6 +196,7 @@ def main():
     profile_range = tuple(int(x) for x in args.profile_steps.split(',')) \
         if args.profile_steps else None
     metrics_file = open(output_dir / 'metrics.jsonl', 'a')
+    log_interval = int(os.environ.get('FV2P_LOG_INTERVAL', '50'))
     it = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, epochs):
         for batch in prefetch(loader):
@@ -209,7 +210,7 @@ def main():
                 jax.profiler.stop_trace()
                 logger.info('profiler trace written to %s'
                             % (output_dir / 'profile'))
-            if it % 50 == 0:
+            if it % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(epoch=epoch, it=it)
                 logger.info('epoch %d it %d loss %.4f grad_norm %.2f'
