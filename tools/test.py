@@ -4,6 +4,7 @@ and keeps an eval-record file of already-evaluated epochs."""
 import argparse
 import datetime
 import glob
+import os
 import sys
 import time
 from pathlib import Path
@@ -34,6 +35,11 @@ def parse_config():
     parser.add_argument('--max_waiting_mins', type=int, default=30,
                         help='--eval_all: give up after this many idle minutes')
     parser.add_argument('--start_epoch', type=int, default=0)
+    parser.add_argument('--rulebooks', choices=['host', 'device'],
+                        default=os.environ.get('FV2P_RULEBOOKS', 'host'),
+                        help='host: ship precomputed sparse-conv tables; '
+                             'device: build them in-graph from coords '
+                             '(~100x less host->HBM traffic)')
     args = parser.parse_args()
 
     from fv2p_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -122,7 +128,7 @@ def main():
     test_set = build_dataset(
         cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, training=False,
         logger=logger)
-    if cfg.MODEL.get('BACKBONE_3D') is not None:
+    if cfg.MODEL.get('BACKBONE_3D') is not None and args.rulebooks == 'host':
         test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
                               caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
