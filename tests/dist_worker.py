@@ -72,7 +72,18 @@ def run_one_step(global_batch_size=8):
     state = replicate_global(mesh, jax.tree_util.tree_map(
         lambda x: np.asarray(x) if hasattr(x, 'shape') else x, state))
     step = make_dp_train_step(model, mesh)
-    new_state, metrics = step(state, shard_batch_global(mesh, batch_np))
+    sharded = shard_batch_global(mesh, batch_np)
+    # AOT-compile before touching any collective, then meet at a pure
+    # coordination-service barrier: the first Gloo execution has a ~30 s
+    # key-exchange window, far shorter than the compile-time skew between
+    # ranks on a loaded host (observed flake: GetKeyValue DEADLINE_EXCEEDED
+    # while the other rank was still compiling).
+    compiled = step.lower(state, sharded).compile()
+    from jax._src import distributed
+    if distributed.global_state.client is not None:
+        distributed.global_state.client.wait_at_barrier(
+            'fv2p_dist_precompile', timeout_in_ms=1_200_000)
+    new_state, metrics = compiled(state, sharded)
     psum = sum(float(jax.numpy.sum(jax.numpy.abs(x.astype(jax.numpy.float32))))
                for x in jax.tree_util.tree_leaves(new_state.params))
     return {'loss': float(metrics['loss']),
