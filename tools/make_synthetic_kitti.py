@@ -1,7 +1,14 @@
-"""Generate a tiny synthetic KITTI tree (velodyne/calib/label/image_2 stubs +
+"""Generate a small synthetic KITTI tree (velodyne/calib/label/image_2 stubs +
 infos + gt database) so tools/train.py / test.py can be driven without the
-real dataset. NOT part of the reference surface — a development fixture."""
+real dataset. Scans are ray-cast LiDAR surface scans (fv2p_tpu/utils/
+lidar_sim.py) — ground plane, clutter walls/poles, and planted Car /
+Pedestrian boxes with varied in-range positions and headings — so voxel
+occupancy, per-level sparse dilation, and point-on-surface statistics behave
+like real KITTI data. NOT part of the reference surface — a development
+fixture."""
+import struct
 import sys
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -9,10 +16,62 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from fv2p_tpu.utils.lidar_sim import GROUND_Z, simulate_scan
 
-def main(root=None, n_train=4, n_val=2, seed=0):
+CAR_DIMS = [(3.9, 1.6, 1.56), (4.2, 1.7, 1.5), (3.6, 1.55, 1.4)]
+PED_DIMS = [(0.8, 0.6, 1.73), (0.9, 0.65, 1.8)]
+
+
+def _place_objects(rng):
+    """Non-overlapping planted boxes: (K, 7) lidar [cx,cy,cz,l,w,h,ry] +
+    class names. cz is the box CENTER (bottom resting on the ground)."""
+    boxes, names = [], []
+    n_car = rng.randint(2, 5)
+    n_ped = rng.randint(1, 3)
+    for kind, n in (('Car', n_car), ('Pedestrian', n_ped)):
+        for _ in range(n):
+            dims = CAR_DIMS[rng.randint(len(CAR_DIMS))] if kind == 'Car' \
+                else PED_DIMS[rng.randint(len(PED_DIMS))]
+            l, w, h = dims
+            for _try in range(20):
+                cx = rng.uniform(6.0, 52.0)
+                cy = rng.uniform(-0.62 * cx, 0.62 * cx)  # inside the FOV
+                cy = float(np.clip(cy, -18, 18))
+                if all((cx - b[0]) ** 2 + (cy - b[1]) ** 2 > 30.0
+                       for b in boxes):
+                    break
+            ry = rng.uniform(-np.pi, np.pi)
+            boxes.append([cx, cy, GROUND_Z + h / 2, l, w, h, ry])
+            names.append(kind)
+    return np.asarray(boxes, np.float32), names
+
+
+def _points_in_box(pts, box):
+    cx, cy, cz, l, w, h, ry = box
+    c, s = np.cos(-ry), np.sin(-ry)
+    dx, dy = pts[:, 0] - cx, pts[:, 1] - cy
+    lx = c * dx - s * dy
+    ly = s * dx + c * dy
+    return int(np.sum((np.abs(lx) < l / 2 + 0.05)
+                      & (np.abs(ly) < w / 2 + 0.05)
+                      & (np.abs(pts[:, 2] - cz) < h / 2 + 0.05)))
+
+
+def _write_png(path, wpx=1280, hpx=384):
+    row = b'\x00' + b'\x80' * wpx
+    raw = zlib.compress(row * hpx)
+
+    def chunk(tag, data):
+        c = struct.pack('>I', len(data)) + tag + data
+        return c + struct.pack('>I', zlib.crc32(tag + data) & 0xffffffff)
+    png = (b'\x89PNG\r\n\x1a\n'
+           + chunk(b'IHDR', struct.pack('>IIBBBBB', wpx, hpx, 8, 0, 0, 0, 0))
+           + chunk(b'IDAT', raw) + chunk(b'IEND', b''))
+    path.write_bytes(png)
+
+
+def main(root=None, n_train=32, n_val=24, seed=0):
     root = Path(root or (REPO / 'data' / 'kitti'))
-    rng = np.random.RandomState(seed)
     (root / 'ImageSets').mkdir(parents=True, exist_ok=True)
     for sub in ['velodyne', 'calib', 'label_2', 'image_2', 'planes']:
         (root / 'training' / sub).mkdir(parents=True, exist_ok=True)
@@ -35,53 +94,39 @@ def main(root=None, n_train=4, n_val=2, seed=0):
     ]) + '\n'
 
     for i, sid in enumerate(ids):
-        n = 18000
-        pts = np.zeros((n, 4), np.float32)
-        pts[:, 0] = rng.uniform(0, 70.0, n)
-        pts[:, 1] = rng.uniform(-39.0, 39.0, n)
-        pts[:, 2] = rng.uniform(-2.5, 0.5, n)
-        pts[:, 3] = rng.rand(n)
-        # plant 2 cars + 1 pedestrian per scan
+        rng = np.random.RandomState(seed * 100003 + i)
+        boxes, names = _place_objects(rng)
+        pts = simulate_scan(rng, boxes)
+        pts.astype(np.float32).tofile(
+            root / 'training' / 'velodyne' / f'{sid}.bin')
+        (root / 'training' / 'calib' / f'{sid}.txt').write_text(calib_txt)
+
         objs = []
-        for (cx, cy, l, w, h, name) in [
-                (10 + 3 * i, 2.0, 3.9, 1.6, 1.56, 'Car'),
-                (20 + 2 * i, -4.0, 3.9, 1.6, 1.56, 'Car'),
-                (15 + i, 6.0, 0.8, 0.6, 1.73, 'Pedestrian')]:
-            m = 300 if name == 'Car' else 80
-            sl = slice(len(objs) * 300, len(objs) * 300 + m)
-            pts[sl, 0] = rng.uniform(cx - l / 2, cx + l / 2, m)
-            pts[sl, 1] = rng.uniform(cy - w / 2, cy + w / 2, m)
-            pts[sl, 2] = rng.uniform(-1.6, -1.6 + h, m)
-            # KITTI label (camera frame): x_cam = -y_velo, y_cam = -z_velo,
-            # z_cam = x_velo; location is the BOTTOM center
-            loc_cam = (-cy, 1.6, cx)
+        for box, name in zip(boxes, names):
+            cx, cy, cz, l, w, h, ry_lidar = [float(v) for v in box]
+            npts = _points_in_box(pts, box)
+            if npts < 5:
+                continue  # fully occluded plant: unlabelable, skip
+            # camera frame (Tr above): x_cam=-y, y_cam=-z, z_cam=x;
+            # label location is the BOTTOM center; ry = -heading - pi/2
+            # (box_utils.boxes3d_lidar_to_kitti_camera)
+            z_bottom = cz - h / 2
+            ry_cam = -ry_lidar - np.pi / 2
+            ry_cam = (ry_cam + np.pi) % (2 * np.pi) - np.pi
             objs.append(
                 f'{name} 0.00 0 0.0 100 100 200 200 '
                 f'{h:.2f} {w:.2f} {l:.2f} '
-                f'{loc_cam[0]:.2f} {loc_cam[1]:.2f} {loc_cam[2]:.2f} 0.00')
-        pts.astype(np.float32).tofile(root / 'training' / 'velodyne' / f'{sid}.bin')
-        (root / 'training' / 'calib' / f'{sid}.txt').write_text(calib_txt)
+                f'{-cy:.2f} {-z_bottom:.2f} {cx:.2f} {ry_cam:.2f}')
         (root / 'training' / 'label_2' / f'{sid}.txt').write_text(
             '\n'.join(objs) + '\n')
-        # minimal png stub for image-shape reads (640x1280 header-only is not
-        # enough; write a real tiny png via matplotlib-free minimal encoder)
-        import struct, zlib
-        wpx, hpx = 1280, 384
-        row = b'\x00' + b'\x80' * wpx
-        raw = zlib.compress(row * hpx)
-        def chunk(tag, data):
-            c = struct.pack('>I', len(data)) + tag + data
-            return c + struct.pack('>I', zlib.crc32(tag + data) & 0xffffffff)
-        png = (b'\x89PNG\r\n\x1a\n'
-               + chunk(b'IHDR', struct.pack('>IIBBBBB', wpx, hpx, 8, 0, 0, 0, 0))
-               + chunk(b'IDAT', raw) + chunk(b'IEND', b''))
-        (root / 'training' / 'image_2' / f'{sid}.png').write_bytes(png)
+        _write_png(root / 'training' / 'image_2' / f'{sid}.png')
         (root / 'training' / 'planes' / f'{sid}.txt').write_text(
-            '# Plane\nWidth 4\nHeight 1\n0 -1 0 1.65\n')
+            '# Plane\nWidth 4\nHeight 1\n0 -1 0 %.2f\n' % -GROUND_Z)
 
     from fv2p_tpu.config import EasyDict, cfg_from_yaml_file
     cfg = EasyDict()
-    cfg_from_yaml_file(str(REPO / 'tools/cfgs/dataset_configs/kitti_dataset.yaml'), cfg)
+    cfg_from_yaml_file(
+        str(REPO / 'tools/cfgs/dataset_configs/kitti_dataset.yaml'), cfg)
     from fv2p_tpu.datasets.kitti.kitti_dataset import create_kitti_infos
     create_kitti_infos(cfg, ['Car', 'Pedestrian', 'Cyclist'], root, root,
                        workers=2)
