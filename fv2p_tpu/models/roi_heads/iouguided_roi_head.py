@@ -224,11 +224,15 @@ class _SAModuleMSG(nn.Module):
     def __call__(self, xyz, valid, feats, centers, *, train: bool):
         """xyz (R, P, 3), valid (R, P), feats (R, P, C), centers (R, G, 3)
         -> (R, G, sum(mlp[-1]))."""
+        # one (R, G, P) distance matrix shared by all radii
+        d2 = jnp.sum(jnp.square(centers[:, :, None, :] - xyz[:, None, :, :]),
+                     axis=-1)
         outs = []
         for i, (r, ns) in enumerate(zip(self.radii, self.nsamples)):
             grouped_xyz, grouped_feats, _ = jax.vmap(
-                lambda c, x, v, f: pointops.ball_query_group(c, x, v, f, r, ns)
-            )(centers, xyz, valid, feats)
+                lambda c, x, v, f, dd: pointops.ball_query_group(
+                    c, x, v, f, r, ns, d2=dd)
+            )(centers, xyz, valid, feats, d2)
             g = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
             g = _MLP1x1(tuple(self.mlps[i]), self.use_bn,
                         name=f'mlp{i}')(g, train=train)

@@ -247,32 +247,67 @@ def _first_k_hits(hits, k):
     return jnp.where(valid, idx.astype(jnp.int32), -1)
 
 
-def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample):
+def ball_query_group(new_xyz, xyz, xyz_valid, feats, radius, nsample,
+                     d2=None, via='auto'):
     """For each query, the first `nsample` source points within `radius`
     (reference ball_query_gpu.cu semantics: first-by-index, slot 0 backfills).
 
     Args:
         new_xyz: (M, 3) query centers. xyz: (N, 3); xyz_valid: (N,) bool.
         feats: (N, C).
+        d2: optional precomputed (M, N) squared distances (lets callers
+            share it across radii).
+        via: 'gather' (row gather, best off-TPU), 'onehot' (slot-selection
+            one-hot matmul on the MXU — on TPU the per-entry gather cost
+            dominates this op ~4x, and each one-hot row has exactly one
+            nonzero so the matmul reproduces the gathered rows exactly),
+            or 'auto' (onehot on TPU, gather elsewhere).
     Returns:
         grouped_xyz: (M, nsample, 3) relative coords (xyz - new_xyz),
         grouped_feats: (M, nsample, C),
         any_neighbor: (M,) bool.
     """
-    d2 = jnp.sum(jnp.square(new_xyz[:, None, :] - xyz[None, :, :]), axis=-1)
+    if d2 is None:
+        d2 = jnp.sum(jnp.square(new_xyz[:, None, :] - xyz[None, :, :]),
+                     axis=-1)
     in_ball = (d2 < radius * radius) & xyz_valid[None, :]     # (M, N)
+    if via == 'auto':
+        via = 'onehot' if jax.default_backend() == 'tpu' else 'gather'
 
-    idx = _first_k_hits(in_ball, nsample)
-    any_neighbor = idx[:, 0] >= 0
-    # CUDA kernel backfills empty slots with the first found index
-    first = jnp.maximum(idx[:, 0], 0)
-    idx = jnp.where(idx >= 0, idx, first[:, None])
+    if via == 'onehot':
+        # slot s of query m selects the n with cumsum==s+1 — that indicator
+        # IS the (M, N, S) one-hot gather matrix, so the row gather becomes
+        # one MXU matmul and no index tensor is ever built. Empty slots
+        # (s >= count) backfill with the first-hit indicator, matching the
+        # CUDA kernel's slot-0 backfill.
+        cs = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)   # (M, N)
+        cnt = cs[:, -1]                                       # (M,)
+        any_neighbor = cnt > 0
+        slot = jnp.arange(1, nsample + 1, dtype=cs.dtype)     # (S,)
+        sel = in_ball[..., None] & (cs[..., None] == slot[None, None, :])
+        first = in_ball[..., None] & (cs[..., None] == 1)
+        backfill = slot[None, None, :] > cnt[:, None, None]
+        sel = sel | (first & backfill)                        # (M, N, S)
 
-    # one wide gather for xyz+feats: TPU gather cost is per-entry, so
-    # fusing the two gathers halves it
-    rows = jnp.concatenate([xyz, feats], axis=-1)[idx]
-    grouped_xyz = rows[..., :3] - new_xyz[:, None, :]
-    grouped_feats = rows[..., 3:]
+        rows_src = jnp.concatenate(
+            [xyz.astype(feats.dtype), feats], axis=-1)        # (N, 3+C)
+        grouped = jnp.einsum(
+            'mns,nc->msc', sel.astype(feats.dtype), rows_src,
+            precision=jax.lax.Precision.HIGHEST)              # (M, S, 3+C)
+        grouped_xyz = grouped[..., :3] - new_xyz[:, None, :].astype(feats.dtype)
+        grouped_feats = grouped[..., 3:]
+    else:
+        idx = _first_k_hits(in_ball, nsample)
+        any_neighbor = idx[:, 0] >= 0
+        # CUDA kernel backfills empty slots with the first found index
+        first = jnp.maximum(idx[:, 0], 0)
+        idx = jnp.where(idx >= 0, idx, first[:, None])
+
+        # one wide gather for xyz+feats: TPU gather cost is per-entry, so
+        # fusing the two gathers halves it
+        rows = jnp.concatenate([xyz, feats], axis=-1)[idx]
+        grouped_xyz = rows[..., :3] - new_xyz[:, None, :]
+        grouped_feats = rows[..., 3:]
     zero = ~any_neighbor[:, None, None]
     return (jnp.where(zero, 0.0, grouped_xyz),
             jnp.where(zero, 0.0, grouped_feats), any_neighbor)

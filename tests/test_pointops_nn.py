@@ -93,3 +93,48 @@ def test_interpolate_level_blocked_matches_flat():
     flat = _interpolate_level(st.replace(sample_cap=0), *args)
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(flat),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ball_query_group_onehot_matches_gather():
+    """The MXU one-hot slot-selection formulation must reproduce the gather
+    formulation exactly (each one-hot row has a single nonzero, so the
+    matmul IS the gather), including backfill of empty slots and zeroed
+    neighborless queries."""
+    rng = np.random.RandomState(3)
+    m, n, c = 37, 96, 13
+    centers = rng.randn(m, 3).astype(np.float32)
+    xyz = rng.randn(n, 3).astype(np.float32)
+    feats = rng.randn(n, c).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    # make some centers neighborless
+    centers[:4] += 100.0
+
+    for radius, ns in [(0.7, 8), (1.5, 16)]:
+        ga = pointops.ball_query_group(
+            jnp.asarray(centers), jnp.asarray(xyz), jnp.asarray(valid),
+            jnp.asarray(feats), radius, ns, via='gather')
+        oh = pointops.ball_query_group(
+            jnp.asarray(centers), jnp.asarray(xyz), jnp.asarray(valid),
+            jnp.asarray(feats), radius, ns, via='onehot')
+        for a, b_, name in zip(ga, oh, ('xyz', 'feats', 'any')):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_ball_query_group_precomputed_d2():
+    rng = np.random.RandomState(4)
+    m, n, c = 11, 64, 5
+    centers = rng.randn(m, 3).astype(np.float32)
+    xyz = rng.randn(n, 3).astype(np.float32)
+    feats = rng.randn(n, c).astype(np.float32)
+    valid = np.ones(n, bool)
+    d2 = ((centers[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    a = pointops.ball_query_group(
+        jnp.asarray(centers), jnp.asarray(xyz), jnp.asarray(valid),
+        jnp.asarray(feats), 1.0, 8)
+    b_ = pointops.ball_query_group(
+        jnp.asarray(centers), jnp.asarray(xyz), jnp.asarray(valid),
+        jnp.asarray(feats), 1.0, 8, d2=jnp.asarray(d2))
+    for x, y in zip(a, b_):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
