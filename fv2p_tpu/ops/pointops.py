@@ -186,7 +186,12 @@ def three_nn_interpolate(src_xyz, src_valid, src_feats, query_xyz,
             d_top = jnp.maximum(vals[:, :3], 0.0)
             idx3 = idx[:, :3]
         else:
-            d_top, idx3 = three_nn(src_xyz, src_valid, query_xyz)
+            # single-kernel Pallas brute force: VMEM-resident distance
+            # tiles (the XLA chunked scan re-reads each (M, chunk) tile
+            # from HBM for every argmin pass — 3.3x slower); elementwise
+            # f32 distances exactly like the reference CUDA kernel
+            from .pallas.three_nn import three_nn_pallas
+            d_top, idx3 = three_nn_pallas(src_xyz, src_valid, query_xyz)
         w = 1.0 / (d_top + 1e-8)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         return jnp.sum(src_feats[idx3] * w[..., None], axis=1)

@@ -138,3 +138,34 @@ def test_ball_query_group_precomputed_d2():
     for x, y in zip(a, b_):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_three_nn_pallas_kernel_matches_exact():
+    """The Pallas 3NN kernel (interpret mode on CPU) must agree with the
+    XLA exact path on indices, including lowest-index tie-breaking on
+    duplicated points; distances may differ only by the matmul-vs-
+    elementwise rounding (the kernel form matches the CUDA reference)."""
+    from fv2p_tpu.ops.pallas.three_nn import three_nn_pallas
+
+    rng = np.random.RandomState(7)
+    src = rng.randn(700, 3).astype(np.float32) * 10
+    q = rng.randn(300, 3).astype(np.float32) * 10
+    valid = rng.rand(700) > 0.15
+    d_ref, i_ref = pointops.three_nn(
+        jnp.asarray(src), jnp.asarray(valid), jnp.asarray(q))
+    d_k, i_k = three_nn_pallas(
+        jnp.asarray(src), jnp.asarray(valid), jnp.asarray(q),
+        bm=128, bn=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-3)
+
+    # exact ties from duplicated points
+    src2 = np.repeat(rng.randn(60, 3).astype(np.float32), 4, axis=0)
+    q2 = src2[::5] + 1e-6
+    d_ref, i_ref = pointops.three_nn(
+        jnp.asarray(src2), jnp.ones(len(src2), bool), jnp.asarray(q2))
+    d_k, i_k = three_nn_pallas(
+        jnp.asarray(src2), jnp.ones(len(src2), bool), jnp.asarray(q2),
+        bm=128, bn=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_ref))
