@@ -266,13 +266,16 @@ class WaymoDataset(DatasetTemplate):
         return ap_result_str, ap_dict
 
     def waymo_eval(self, eval_det_annos, eval_gt_annos, class_names):
-        """Official Waymo metrics (needs tensorflow + waymo_open_dataset)."""
+        """Official Waymo metrics. Uses the TF ``waymo_open_dataset`` ops
+        when installed; otherwise falls back to the native numpy
+        re-implementation (``waymo_eval_native``) with the same config and
+        ap_dict key scheme."""
         try:
             from .waymo_eval import OpenPCDetWaymoDetectionMetricsEstimator
-        except ImportError as e:
-            return ('waymo_open_dataset not available (%s); '
-                    'use EVAL_METRIC: kitti' % e), {}
-        eval_tool = OpenPCDetWaymoDetectionMetricsEstimator()
+            eval_tool = OpenPCDetWaymoDetectionMetricsEstimator()
+        except ImportError:
+            from .waymo_eval_native import NativeWaymoDetectionMetricsEstimator
+            eval_tool = NativeWaymoDetectionMetricsEstimator()
         ap_dict = eval_tool.waymo_evaluation(
             eval_det_annos, eval_gt_annos, class_name=class_names,
             distance_thresh=1000,
