@@ -205,13 +205,15 @@ class NuScenesDataset(DatasetTemplate):
             pickle.dump(all_db_infos, f)
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Official nuScenes eval via the devkit (reference :198-252);
-        requires the optional ``nuscenes-devkit`` package."""
+        """Official nuScenes eval via the devkit (reference :198-252) when
+        installed; otherwise the native numpy re-implementation of the
+        ``detection_cvpr_2019`` algorithm (``nuscenes_eval_native``) runs
+        directly on det_annos vs ``self.infos`` — no NuScenes DB needed."""
         try:
             from nuscenes.nuscenes import NuScenes  # noqa: F401
         except ImportError:
-            return ('nuscenes-devkit not installed: skipping official '
-                    'evaluation (predictions were generated)'), {}
+            from .nuscenes_eval_native import nuscenes_detection_eval
+            return nuscenes_detection_eval(det_annos, self.infos, class_names)
         import json
 
         from nuscenes.eval.detection.config import config_factory

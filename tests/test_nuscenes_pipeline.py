@@ -43,21 +43,33 @@ def test_nuscenes_cbgs_train_getitem_and_batch(nusc_cfg):
     assert batch['gt_boxes'].shape[2] == 10
 
 
-def test_nuscenes_val_eval_gated_gracefully(nusc_cfg):
+def test_nuscenes_val_eval_native_fallback(nusc_cfg):
+    """Without the devkit, evaluation() runs the native detection_cvpr_2019
+    metrics against self.infos; a detector that nails every GT box must get
+    mAP/NDS 1.0, and random boxes must not."""
     from fv2p_tpu.datasets import build_dataset
     ds = build_dataset(nusc_cfg.DATA_CONFIG, nusc_cfg.CLASS_NAMES,
                       training=False, root_path=NUSC_ROOT)
     assert len(ds) == 2
     batch = ds.collate_batch([ds[0]])
     assert batch['voxel_valid'].sum() > 1000
-    det_annos = [{'name': np.array(['car']), 'score': np.array([0.9]),
-                  'boxes_lidar': np.zeros((1, 9)),
-                  'pred_labels': np.array([1]),
-                  'metadata': {'token': ds.infos[i]['token']}}
-                 for i in range(len(ds))]
-    msg, d = ds.evaluation(det_annos, nusc_cfg.CLASS_NAMES,
+    det_perfect = [
+        {'name': np.asarray(info['gt_names']),
+         'score': np.full(len(info['gt_names']), 0.9),
+         'boxes_lidar': np.asarray(info['gt_boxes'], np.float64),
+         'metadata': {'token': info['token']}}
+        for info in ds.infos]
+    msg, d = ds.evaluation(det_perfect, nusc_cfg.CLASS_NAMES,
                            output_path=str(REPO / 'output' / 'nusc_eval'))
-    assert 'devkit' in msg and d == {}
+    assert d['mAP'] == pytest.approx(1.0, abs=1e-6), msg
+    assert d['NDS'] == pytest.approx(1.0, abs=1e-6), msg
+    det_junk = [{'name': np.array(['car']), 'score': np.array([0.9]),
+                 'boxes_lidar': np.full((1, 9), 5.0),
+                 'metadata': {'token': info['token']}}
+                for info in ds.infos]
+    _, d2 = ds.evaluation(det_junk, nusc_cfg.CLASS_NAMES,
+                          output_path=str(REPO / 'output' / 'nusc_eval'))
+    assert d2['mAP'] < 0.5
 
 
 @pytest.mark.slow
@@ -70,12 +82,22 @@ def test_nuscenes_multihead_forward_at_scale(nusc_cfg):
     from fv2p_tpu.datasets import build_dataset, dataset_meta_from_cfg
     from fv2p_tpu.models import build_network
 
+    import copy
+
+    from fv2p_tpu.config import EasyDict
+
+    # the synthetic fixture's 60000-voxel scenes dilate past the default
+    # (KITTI-derived) level capacities; raise them via the designed override
+    model_cfg = copy.deepcopy(nusc_cfg.MODEL)
+    model_cfg.BACKBONE_3D.LEVEL_CAPACITIES = EasyDict(
+        x_conv2=200000, x_conv3=140000, x_conv4=72000, out=72000)
     ds = build_dataset(nusc_cfg.DATA_CONFIG, nusc_cfg.CLASS_NAMES,
                       training=False, root_path=NUSC_ROOT)
-    ds.set_rulebook_spec(nusc_cfg.MODEL.BACKBONE_3D.NAME)
+    ds.set_rulebook_spec(model_cfg.BACKBONE_3D.NAME,
+                         caps_override=model_cfg.BACKBONE_3D.LEVEL_CAPACITIES)
     batch_np = ds.collate_batch([ds[0]])
     meta = dataset_meta_from_cfg(nusc_cfg.DATA_CONFIG, 'test')
-    model = build_network(nusc_cfg.MODEL, num_class=len(nusc_cfg.CLASS_NAMES),
+    model = build_network(model_cfg, num_class=len(nusc_cfg.CLASS_NAMES),
                           class_names=nusc_cfg.CLASS_NAMES,
                           dataset_meta=meta)
     batch = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
