@@ -110,7 +110,9 @@ def test_waymo_fv2p_forward_at_scale(waymo_cfg):
 
     ds = build_dataset(waymo_cfg.DATA_CONFIG, waymo_cfg.CLASS_NAMES,
                        training=False, root_path=WAYMO_ROOT)
-    ds.set_rulebook_spec(waymo_cfg.MODEL.BACKBONE_3D.NAME)
+    ds.set_rulebook_spec(
+        waymo_cfg.MODEL.BACKBONE_3D.NAME,
+        caps_override=waymo_cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     batch_np = _collate(ds, [0])
     meta = dataset_meta_from_cfg(waymo_cfg.DATA_CONFIG, 'test')
     model = build_network(waymo_cfg.MODEL,
