@@ -324,7 +324,13 @@ class Detector3DTemplate(nn.Module):
         else:
             cls_probs = cls_preds
         fg_scores = jnp.max(cls_probs, axis=-1)
-        labels = jnp.argmax(cls_probs, axis=-1) + 1
+        # reference detector3d_template.py:394-398: with class labels from the
+        # RoI stage (FV2P's class-agnostic rcnn head) the final label is
+        # roi_labels, NOT argmax of the 1-channel rcnn cls logits
+        if batch_dict.get('has_class_labels', False) and 'roi_labels' in batch_dict:
+            labels = batch_dict['roi_labels']
+        else:
+            labels = jnp.argmax(cls_probs, axis=-1) + 1
 
         score_thresh = float(pp.SCORE_THRESH)
         nms_scores = jnp.where(fg_scores >= score_thresh, iouscore, -jnp.inf)

@@ -426,6 +426,14 @@ def _dense_grid_points(rois_flat, grid_size):
     return (idx[None] + 0.5) / g * sizes - sizes / 2
 
 
+def two_pass_final_score(cls0, iou1_raw):
+    """IoU-alignment score assembly (reference iouguided_roi_head.py:366-373,
+    'Option1'): the pass-2 iou score in [-1,1] is renormalized to [0,1],
+    clamped to [1e-3, 1], and multiplied with the pass-1 sigmoid cls score."""
+    iou1 = jnp.clip(iou1_raw * 0.5 + 0.5, 1e-3, 1.0)
+    return jax.nn.sigmoid(cls0) * iou1
+
+
 class IoUGuidedRoIHead(nn.Module):
     model_cfg: Any
     input_channels: int
@@ -477,8 +485,7 @@ class IoUGuidedRoIHead(nn.Module):
                 batch_dict, box0, train=train)
             _, _, iou1 = self._generate_predicted_boxes(
                 box0, rcnn_cls1, rcnn_reg1, rcnn_iou1)
-            iou1 = jnp.clip(iou1 * 0.5 + 0.5, 1e-3, 1.0)
-            final_score = jax.nn.sigmoid(cls0) * iou1
+            final_score = two_pass_final_score(cls0, iou1)
 
             batch_dict['batch_cls_preds'] = cls0
             batch_dict['batch_box_preds'] = box0
