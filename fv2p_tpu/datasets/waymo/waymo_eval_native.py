@@ -154,13 +154,20 @@ class NativeWaymoDetectionMetricsEstimator:
         return out
 
     @staticmethod
-    def _ap_from_counts(counts, weighted):
+    def _ap_from_counts(counts, weighted, max_recall_gap=None):
         """counts: (C, 4) [tp_weight, fp, fn, tp_count] per cutoff.
 
         AP uses raw counts. APH scales each precision point by the mean
         heading accuracy of its true positives (tp_weight / tp_count) while
         recall stays unweighted — the WOD definition, under which perfect
-        detection with uniform heading accuracy h yields APH = h * AP."""
+        detection with uniform heading accuracy h yields APH = h * AP.
+
+        ``max_recall_gap``: pessimistic variant bounding the TF library's
+        recall-gap penalty (see module docstring): a recall step larger than
+        the gap is credited only ``max_recall_gap`` of step integral (as if
+        the inserted synthetic points had precision 0). The true WOD value
+        lies between this lower bound and the default (None) upper bound;
+        tests/test_eval_goldens.py measures the spread."""
         tp = counts[:, 0] if weighted else counts[:, 3]
         fp, fn, tp_c = counts[:, 1], counts[:, 2], counts[:, 3]
         denom_p = tp_c + fp
@@ -173,7 +180,10 @@ class NativeWaymoDetectionMetricsEstimator:
         p = precision[order]
         p = np.maximum.accumulate(p[::-1])[::-1]
         r_prev = np.concatenate([[0.0], r[:-1]])
-        return float(np.sum((r - r_prev) * p))
+        dr = r - r_prev
+        if max_recall_gap is not None:
+            dr = np.minimum(dr, max_recall_gap)
+        return float(np.sum(dr * p))
 
     def waymo_evaluation(self, prediction_infos, gt_infos, class_name,
                          distance_thresh=100, fake_gt_infos=True):
