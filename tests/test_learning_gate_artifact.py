@@ -1,34 +1,37 @@
-"""End-to-end learning gate (VERDICT r1 item 2): the committed eval artifact
-from training MGAF-3DSSD on the synthetic KITTI fixture must show the planted
-cars are actually detected — nonzero official Car AP and high recall. Guards
-against the round-1 failure mode where the train->eval loop "ran" but scored
-0.0 on every metric.
+"""End-to-end learning gate (VERDICT r1 item 2, closed in r3): the committed
+eval artifact from training MGAF-3DSSD on the synthetic KITTI fixture must
+show the planted cars are actually detected — nonzero official Car AP and
+high recall. Guards against the round-1 failure mode where the train->eval
+loop "ran" but scored 0.0 on every metric.
 
-The artifact is produced on the real TPU chip by:
+The artifact was produced on the real TPU chip by:
 
     cd tools
     python train.py --cfg_file cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd_overfit.yaml \
-        --extra_tag overfit --ckpt_save_interval 40
+        --extra_tag overfit300 --ckpt_save_interval 50
     python test.py  --cfg_file cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd_overfit.yaml \
-        --extra_tag overfit --dtype float32 \
-        --ckpt ../output/kitti_models/MGAF-3DSSD/mgaf-3dssd_overfit/overfit/ckpt/<last>
+        --extra_tag overfit300tpu --dtype bfloat16 \
+        --ckpt ../output/kitti_models/MGAF-3DSSD/mgaf-3dssd_overfit/overfit300/ckpt/250
 
 and the resulting ``result.json`` is committed to ``artifacts/learning_gate/``
+with provenance in ``artifacts/learning_gate/PROVENANCE.md``
 (reference behavior being validated: tools/eval_utils/eval_utils.py:22-121 —
 train then produce nonzero AP on the val split).
+
+This test FAILS — it does not skip — when the artifact is missing: the gate
+must not be silently reopenable (VERDICT r2 "weak" item 2).
 """
 import json
 from pathlib import Path
-
-import pytest
 
 ARTIFACT = Path(__file__).resolve().parents[1] / 'artifacts' / 'learning_gate' / 'result.json'
 
 
 def test_learning_gate_artifact_nonzero():
-    if not ARTIFACT.exists():
-        pytest.skip('learning-gate artifact not produced on this machine; '
-                    'reproduce with the commands in the module docstring')
+    assert ARTIFACT.exists(), (
+        'learning-gate artifact missing from artifacts/learning_gate/ — the '
+        'end-to-end accuracy gate is open; reproduce with the commands in '
+        'the module docstring and commit result.json')
     ret = json.loads(ARTIFACT.read_text())
 
     # the detector must actually find the planted cars on the held-out
@@ -40,3 +43,16 @@ def test_learning_gate_artifact_nonzero():
     # the eval loop must be in a sane steady state (round-1 artifact showed
     # 55.9 s/scan compile-dominated eval)
     assert ret.get('sec_per_example', 1e9) < 2.0, ret
+
+
+def test_learning_gate_bf16_f32_parity():
+    """The bf16 TPU eval and the f32 CPU eval of the same checkpoint must
+    agree on AP and recall (documents that bf16 is the eval dtype of record
+    and that it does not cost accuracy)."""
+    cpu = ARTIFACT.parent / 'result_cpu_f32.json'
+    assert cpu.exists(), 'f32 cross-check artifact missing'
+    a = json.loads(ARTIFACT.read_text())
+    b = json.loads(cpu.read_text())
+    for k in ('Car_3d/easy_R40', 'Car_3d/moderate_R40', 'recall/rcnn_0.3',
+              'recall/rcnn_0.7'):
+        assert abs(a.get(k, 0.0) - b.get(k, -1.0)) < 1.0, (k, a.get(k), b.get(k))

@@ -114,7 +114,9 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     recall.update({('recall_roi_%s' % str(t)): 0 for t in thresh_list})
     total_gt = 0
     t_infer = 0.0
+    t_first = 0.0
     n_scans = 0
+    n_scans_first = 0
     for i, batch_np in enumerate(loader):
         # pad ragged final batch to the static shape; trim predictions after
         batch_np, n_real = pad_batch_to_size(batch_np, batch_size)
@@ -123,8 +125,15 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
         out = infer(variables, batch)
         pred = {k: np.asarray(out[k]) for k in
                 ('pred_boxes', 'pred_scores', 'pred_labels', 'pred_valid')}
-        t_infer += time.time() - t0
-        n_scans += n_real
+        if i == 0:
+            # the first batch pays the one-off jit compile; keep it out of
+            # the steady-state rate (the reference's sec_per_example,
+            # eval_utils.py:79-80, has no compile step to amortize)
+            t_first = time.time() - t0
+            n_scans_first = n_real
+        else:
+            t_infer += time.time() - t0
+            n_scans += n_real
 
         if 'gt_boxes' in batch:
             counts, counts_r, num_gt = recall_fn(
@@ -143,8 +152,13 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
         if i % 50 == 0:
             logger.info(f'eval batch {i}/{len(loader)}')
 
-    sec_per_example = t_infer / max(n_scans, 1)
-    logger.info('sec_per_example: %.4f' % sec_per_example)
+    if n_scans:
+        sec_per_example = t_infer / n_scans
+    else:  # single-batch dataset: the compile-inclusive number is all we have
+        sec_per_example = t_first / max(n_scans_first, 1)
+    first_batch_sec = t_first / max(n_scans_first, 1)
+    logger.info('sec_per_example: %.4f (first batch incl. compile: %.4f)'
+                % (sec_per_example, first_batch_sec))
 
     from fv2p_tpu.ops.sparse import host_rulebook
     of = host_rulebook.get_overflow_stats()
@@ -172,6 +186,7 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     logger.info(result_str)
     ret_dict.update({k: float(v) for k, v in result_dict.items()})
     ret_dict['sec_per_example'] = sec_per_example
+    ret_dict['sec_per_example_first_batch'] = first_batch_sec
 
     if tb_log is not None:
         for key, val in ret_dict.items():

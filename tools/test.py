@@ -19,9 +19,12 @@ def parse_config():
     parser.add_argument('--batch_size', type=int, default=None)
     parser.add_argument('--dtype', choices=['bfloat16', 'float32'],
                         default='bfloat16',
-                        help='model compute dtype (float32 works around a '
-                             'TPU-runtime fault seen with some trained '
-                             'checkpoints under the bf16 eval program)')
+                        help='model compute dtype. bfloat16 (default) is '
+                             'the dtype of record — AP-identical to f32 on '
+                             'the committed learning-gate artifact; the f32 '
+                             'MGAF eval program faults the TPU runtime in '
+                             'this environment (see README Known issues), '
+                             'so use float32 only with FV2P_PLATFORM=cpu')
     parser.add_argument('--workers', type=int, default=4)
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
