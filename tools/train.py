@@ -51,6 +51,14 @@ def parse_config():
                              'is plentiful); "device" builds them inside the '
                              'jitted step from (cap, 3) coords only — '
                              '~100x less host->HBM traffic per batch')
+    parser.add_argument('--max_rss_gb', type=float,
+                        default=float(os.environ.get('FV2P_MAX_RSS_GB', '48')),
+                        help='host-RSS watchdog: when process RSS exceeds '
+                             'this at an epoch boundary, save a checkpoint '
+                             'and re-exec the process (auto-resume continues '
+                             'training). Works around the per-transfer host '
+                             'buffer leak in the remote-TPU PJRT client '
+                             '(see README Known issues). 0 disables.')
     args = parser.parse_args()
 
     from fv2p_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -240,6 +248,24 @@ def main():
                            '%s — raise MAX_NUMBER_OF_VOXELS or level caps'
                            % of)
         host_rulebook.reset_overflow_stats()
+        # host-RSS watchdog: the remote-TPU PJRT client leaks every staged
+        # host->device transfer buffer (README Known issues); long runs OOM.
+        # At an epoch boundary the training state is fully captured by the
+        # newest checkpoint, so save + re-exec is a clean restart point and
+        # the persistent compile cache makes it cheap (~30 s).
+        rss_gb = (int(open('/proc/self/statm').read().split()[1])
+                  * os.sysconf('SC_PAGESIZE') / 1e9)
+        if args.max_rss_gb and rss_gb > args.max_rss_gb \
+                and epoch + 1 < epochs:
+            if (epoch + 1) % args.ckpt_save_interval != 0:
+                mgr.save(epoch + 1, args=ocp.args.StandardSave(state))
+            mgr.wait_until_finished()
+            metrics_file.flush()
+            logger.warning(
+                'RSS %.1f GB > --max_rss_gb %.1f at epoch %d: re-exec to '
+                'reclaim leaked transfer buffers (auto-resume continues)'
+                % (rss_gb, args.max_rss_gb, epoch + 1))
+            os.execv(sys.executable, [sys.executable] + sys.argv)
     mgr.wait_until_finished()
     logger.info('**********************End training**********************')
 
