@@ -66,8 +66,12 @@ def bench_model(ge, jax, jnp, cfg_path, n_points, batch_size=4, iters=10):
 
 
 def main():
-    from fv2p_tpu.utils.compile_cache import enable_persistent_cache
+    from fv2p_tpu.utils.compile_cache import (enable_persistent_cache,
+                                              seed_from_committed)
     enable_persistent_cache()
+    n = seed_from_committed()
+    if n:
+        print(f'# seeded {n} committed warm-cache entries', file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
