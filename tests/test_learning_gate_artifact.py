@@ -45,6 +45,27 @@ def test_learning_gate_artifact_nonzero():
     assert ret.get('sec_per_example', 1e9) < 2.0, ret
 
 
+def test_fv2p_learning_gate_artifact_nonzero():
+    """FV2P end-to-end gate (VERDICT r2 item 3): the two-stage loop —
+    proposal sampling, V2P decoder, point head, IoU-guided RoI head with
+    two-pass eval and post_processing_withfgscores — trained on the fixture
+    and evaluated with the official KITTI AP on the real chip in bf16.
+    Produced by tools/train.py + tools/test.py with
+    cfgs/kitti_models/FV2P/fv2p_overfit.yaml (ckpt 175; see
+    artifacts/learning_gate/PROVENANCE.md)."""
+    art = ARTIFACT.parent / 'fv2p' / 'result.json'
+    assert art.exists(), (
+        'FV2P learning-gate artifact missing — the two-stage accuracy gate '
+        'is open; reproduce per the module docstring and PROVENANCE.md')
+    ret = json.loads(art.read_text())
+    ap3d = ret.get('Car_3d/easy_R40', ret.get('Car_3d/easy', 0.0))
+    assert ap3d > 10.0, ret
+    assert ret.get('recall/rcnn_0.3', 0.0) > 0.5, ret
+    # stage-1 proposals must themselves localize (roi recall is FV2P-specific)
+    assert ret.get('recall/roi_0.3', 0.0) > 0.5, ret
+    assert ret.get('sec_per_example', 1e9) < 2.0, ret
+
+
 def test_learning_gate_bf16_f32_parity():
     """The bf16 TPU eval and the f32 CPU eval of the same checkpoint must
     agree on AP and recall (documents that bf16 is the eval dtype of record
