@@ -194,36 +194,110 @@ def assign_targets(key, batch_dict, target_cfg):
 # ---------------------------------------------------------------------------
 
 class _MLP1x1(nn.Module):
-    """Stack of 1x1 'conv' (Dense) + optional BN + ReLU over last axis."""
+    """Stack of 1x1 'conv' (Dense) + optional BN + ReLU over last axis.
+
+    setup-style (not compact) so the fused eval path can read the raw
+    layer weights via :meth:`folded_layers`; the param tree is unchanged
+    (explicit ``fc{i}`` / ``bn{i}`` names)."""
     channels: Tuple[int, ...]
     use_bn: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.fcs = [nn.Dense(ch, use_bias=not self.use_bn, name=f'fc{i}')
+                    for i, ch in enumerate(self.channels)]
+        if self.use_bn:
+            self.bns = [nn.BatchNorm(**_BN, name=f'bn{i}')
+                        for i in range(len(self.channels))]
+
     def __call__(self, x, *, train: bool):
-        for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=not self.use_bn, name=f'fc{i}')(x)
+        for i in range(len(self.channels)):
+            x = self.fcs[i](x)
             if self.use_bn:
                 shape = x.shape
-                x = nn.BatchNorm(use_running_average=not train, **_BN,
-                                 name=f'bn{i}')(x.reshape(-1, shape[-1]))
+                x = self.bns[i](x.reshape(-1, shape[-1]),
+                                use_running_average=not train)
                 x = x.reshape(shape)
             x = nn.relu(x)
         return x
+
+    def folded_layers(self):
+        """Per layer, the eval-equivalent affine ``(W, b)`` with BatchNorm's
+        running statistics folded in (``y = relu(x @ W + b)``)."""
+        outs = []
+        for i in range(len(self.channels)):
+            k = self.fcs[i].variables['params']['kernel']
+            if self.use_bn:
+                v = self.bns[i].variables
+                a = v['params']['scale'] * jax.lax.rsqrt(
+                    v['batch_stats']['var'] + _BN['epsilon'])
+                outs.append((k * a[None, :],
+                             v['params']['bias'] - v['batch_stats']['mean'] * a))
+            else:
+                outs.append((k, self.fcs[i].variables['params']['bias']))
+        return outs
 
 
 class _SAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction at given centers (reference
     PointnetSAModuleMSG with use_xyz=True, bn per cfg). Operates on a batch
-    of point sets: grouping via jax.vmap, MLPs broadcast over leading dims."""
+    of point sets: grouping via jax.vmap, MLPs broadcast over leading dims.
+
+    At eval on TPU (and when the MLP structure allows) the whole
+    group->MLP->maxpool per radius runs as one fused Pallas kernel
+    (``ops.pallas.sa_group``): the one-hot slot selection and both MLP
+    layers stay in VMEM, removing the ~3 GB/radius of HBM traffic the XLA
+    path pays for the materialized selection + grouped tensors. Training
+    keeps the XLA path (differentiable)."""
     radii: Tuple[float, ...]
     nsamples: Tuple[int, ...]
     mlps: Tuple[Tuple[int, ...], ...]
     use_bn: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.mlp_mods = [_MLP1x1(tuple(m), self.use_bn, name=f'mlp{i}')
+                         for i, m in enumerate(self.mlps)]
+
+    def _fused_ok(self):
+        import os
+        mode = os.environ.get('FV2P_FUSED_SA', '1')
+        if mode == '0':
+            return False, False
+        structural = (len(self.radii) == 2
+                      and tuple(tuple(m) for m in self.mlps)
+                      == ((64, 64), (64, 64)))
+        if not structural:
+            return False, False
+        if mode == 'interpret':
+            return True, True
+        return jax.default_backend() == 'tpu', False
+
     def __call__(self, xyz, valid, feats, centers, *, train: bool):
         """xyz (R, P, 3), valid (R, P), feats (R, P, C), centers (R, G, 3)
         -> (R, G, sum(mlp[-1]))."""
+        use_fused, interpret = self._fused_ok()
+        if use_fused and not train and not self.is_initializing():
+            from ...ops.pallas.sa_group import sa_group_pool_fused
+            H = 128  # lane-padded hidden width (both layers are 64-wide)
+            z_list, cw_list, w2_list, b1_list, b2_list = [], [], [], [], []
+            for i in range(2):
+                (w1, b1), (w2, b2) = self.mlp_mods[i].folded_layers()
+                w1x, w1f = w1[:3].astype(jnp.float32), w1[3:]
+                z = (feats @ w1f.astype(feats.dtype)).astype(jnp.float32) \
+                    + xyz.astype(jnp.float32) @ w1x
+                z_list.append(jnp.pad(z, ((0, 0), (0, 0), (0, H - z.shape[-1]))))
+                cw = centers.astype(jnp.float32) @ w1x - b1.astype(jnp.float32)
+                cw_list.append(
+                    jnp.pad(cw, ((0, 0), (0, 0), (0, H - cw.shape[-1]))))
+                w2_list.append(jnp.pad(w2, ((0, H - w2.shape[0]),
+                                            (0, H - w2.shape[1]))))
+                b1_list.append(jnp.pad(b1, (0, H - b1.shape[0]))[None, :])
+                b2_list.append(jnp.pad(b2, (0, H - b2.shape[0]))[None, :])
+            out = sa_group_pool_fused(
+                centers, xyz, valid, z_list, cw_list, w2_list, b1_list,
+                b2_list, tuple(float(r) for r in self.radii),
+                tuple(int(n) for n in self.nsamples), interpret=interpret)
+            return out.astype(feats.dtype)
+
         # one (R, G, P) distance matrix shared by all radii
         d2 = jnp.sum(jnp.square(centers[:, :, None, :] - xyz[:, None, :, :]),
                      axis=-1)
@@ -234,8 +308,7 @@ class _SAModuleMSG(nn.Module):
                     c, x, v, f, r, ns, d2=dd)
             )(centers, xyz, valid, feats, d2)
             g = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-            g = _MLP1x1(tuple(self.mlps[i]), self.use_bn,
-                        name=f'mlp{i}')(g, train=train)
+            g = self.mlp_mods[i](g, train=train)
             outs.append(jnp.max(g, axis=2))            # (R, G, C_out)
         return jnp.concatenate(outs, axis=-1)
 
