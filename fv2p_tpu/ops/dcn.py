@@ -275,62 +275,53 @@ def _mdcn_all_taps_bwd(h, w, res, dout):
     k, b, g, hw = dy.shape
     bg, q1, cg4 = quad.shape
     cg = cg4 // 4
-    n_chunks, chunk = _pick_chunks(hw)
     base_y, base_x = _base_yx(h, w)
     doutf = dout.astype(jnp.float32)                       # (B, HW, Cout)
 
+    # NOTE on structure: scattering into the CARRIED accumulator inside the
+    # scan defeats XLA's carry aliasing — each of the K (x chunks) steps
+    # copied the full ~300 MB d(quad) buffer before the .at[].add, which
+    # measured as ~500 ms/conv at level-1 BEV shapes while the raw scatter
+    # of a whole tap's rows is only ~13 ms. Each tap therefore scatters into
+    # its OWN fresh zeros and the accumulator only ever sees elementwise
+    # adds (alias-friendly). One tap's f32 temporaries (~300 MB at level 1)
+    # fit comfortably, so the backward needs no inner chunking.
+
     def tap_body(dquad, inputs):
         dy_k, dx_k, m_k, ty, tx, w_k = inputs
-        sy = (base_y[None, None, :] + ty + dy_k).reshape(
-            b, g, n_chunks, chunk).transpose(2, 0, 1, 3)
-        sx = (base_x[None, None, :] + tx + dx_k).reshape(
-            b, g, n_chunks, chunk).transpose(2, 0, 1, 3)
-        mc = m_k.reshape(b, g, n_chunks, chunk).transpose(2, 0, 1, 3)
-        do_c = doutf.reshape(b, n_chunks, chunk, -1).transpose(1, 0, 2, 3)
-
-        def chunk_body(carry, cin):
-            dquad, dw_k = carry
-            sy_c, sx_c, m_c, dout_c = cin                  # (B,G,S), (B,S,Co)
-            sampled, (corners, weights, cell, (wy1, wx1, modf)) = \
-                _quad_sample_impl(quad, sy_c, sx_c, m_c, h, w)
-            # d(w_k) and d(sampled) through the tap einsum
-            dw_k = dw_k + jnp.einsum('bgnc,bno->gco', sampled, dout_c,
-                                     preferred_element_type=jnp.float32)
-            dsamp = jnp.einsum('bno,gco->bgnc', dout_c,
-                               w_k.astype(jnp.float32),
-                               preferred_element_type=jnp.float32)
-            v00, v01, v10, v11 = corners
-            d00 = jnp.sum(dsamp * v00, axis=-1)
-            d01 = jnp.sum(dsamp * v01, axis=-1)
-            d10 = jnp.sum(dsamp * v10, axis=-1)
-            d11 = jnp.sum(dsamp * v11, axis=-1)
-            dsy_c = modf * (-(1 - wx1) * d00 - wx1 * d01
-                            + (1 - wx1) * d10 + wx1 * d11)
-            dsx_c = modf * (-(1 - wy1) * d00 + (1 - wy1) * d01
-                            - wy1 * d10 + wy1 * d11)
-            dmod_c = ((1 - wy1) * (1 - wx1) * d00 + (1 - wy1) * wx1 * d01
-                      + wy1 * (1 - wx1) * d10 + wy1 * wx1 * d11)
-            # ONE row scatter-add per sample into the shared accumulator;
-            # sentinel-row updates are dropped by the quad build's transpose
-            w00, w01, w10, w11 = weights
-            w00f, w01f = w00.astype(jnp.float32), w01.astype(jnp.float32)
-            w10f, w11f = w10.astype(jnp.float32), w11.astype(jnp.float32)
-            upd = jnp.concatenate(
-                [dsamp * w00f[..., None], dsamp * w01f[..., None],
-                 dsamp * w10f[..., None], dsamp * w11f[..., None]],
-                axis=-1).reshape(bg, -1, cg4)
-            s = upd.shape[1]
-            dquad = dquad.at[jnp.arange(bg)[:, None],
-                             cell.reshape(bg, s)].add(upd)
-            return (dquad, dw_k), (dsy_c, dsx_c, dmod_c)
-
-        (dquad, dw_k), (dsy_t, dsx_t, dmod_t) = jax.lax.scan(
-            chunk_body, (dquad, jnp.zeros(w_k.shape, jnp.float32)),
-            (sy, sx, mc, do_c))
-        dsy_k = dsy_t.transpose(1, 2, 0, 3).reshape(b, g, hw)
-        dsx_k = dsx_t.transpose(1, 2, 0, 3).reshape(b, g, hw)
-        dmod_k = dmod_t.transpose(1, 2, 0, 3).reshape(b, g, hw)
-        return dquad, (dsy_k, dsx_k, dmod_k, dw_k)
+        sy = base_y[None, None, :] + ty + dy_k             # (B, G, HW)
+        sx = base_x[None, None, :] + tx + dx_k
+        sampled, (corners, weights, cell, (wy1, wx1, modf)) = \
+            _quad_sample_impl(quad, sy, sx, m_k, h, w)
+        # d(w_k) and d(sampled) through the tap einsum
+        dw_k = jnp.einsum('bgnc,bno->gco', sampled, doutf,
+                          preferred_element_type=jnp.float32)
+        dsamp = jnp.einsum('bno,gco->bgnc', doutf,
+                           w_k.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        v00, v01, v10, v11 = corners
+        d00 = jnp.sum(dsamp * v00, axis=-1)
+        d01 = jnp.sum(dsamp * v01, axis=-1)
+        d10 = jnp.sum(dsamp * v10, axis=-1)
+        d11 = jnp.sum(dsamp * v11, axis=-1)
+        dsy_k = modf * (-(1 - wx1) * d00 - wx1 * d01
+                        + (1 - wx1) * d10 + wx1 * d11)
+        dsx_k = modf * (-(1 - wy1) * d00 + (1 - wy1) * d01
+                        - wy1 * d10 + wy1 * d11)
+        dmod_k = ((1 - wy1) * (1 - wx1) * d00 + (1 - wy1) * wx1 * d01
+                  + wy1 * (1 - wx1) * d10 + wy1 * wx1 * d11)
+        # ONE row scatter-add per sample into fresh zeros; sentinel-row
+        # updates are dropped by the quad build's concat transpose
+        w00, w01, w10, w11 = weights
+        w00f, w01f = w00.astype(jnp.float32), w01.astype(jnp.float32)
+        w10f, w11f = w10.astype(jnp.float32), w11.astype(jnp.float32)
+        upd = jnp.concatenate(
+            [dsamp * w00f[..., None], dsamp * w01f[..., None],
+             dsamp * w10f[..., None], dsamp * w11f[..., None]],
+            axis=-1).reshape(bg, hw, cg4)
+        dquad_k = jnp.zeros((bg, q1, cg4), jnp.float32).at[
+            jnp.arange(bg)[:, None], cell.reshape(bg, hw)].add(upd)
+        return dquad + dquad_k, (dsy_k, dsx_k, dmod_k, dw_k)
 
     dquad0 = jnp.zeros((bg, q1, cg4), jnp.float32)
     dquad, (dsy, dsx, dmod, dw) = jax.lax.scan(
