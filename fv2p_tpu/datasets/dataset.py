@@ -49,7 +49,8 @@ class DatasetTemplate:
         cap = self.data_processor.max_voxels
         self.rulebook_spec = host_rulebook.backbone_spec(
             backbone_name, tuple(int(g) for g in self.grid_size), cap,
-            caps_override=caps_override)
+            caps_override=host_rulebook.select_mode_caps(
+                caps_override, self.training))
 
     @property
     def mode(self):

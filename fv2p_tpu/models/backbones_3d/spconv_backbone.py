@@ -131,7 +131,10 @@ class VoxelResBackBone8x(nn.Module):
             st = input_sparse_tensor(batch_dict, s1)
             caps = level_capacities(st.capacity)
             if self.model_cfg is not None and 'LEVEL_CAPACITIES' in self.model_cfg:
-                caps.update(self.model_cfg['LEVEL_CAPACITIES'])
+                from ...ops.sparse.host_rulebook import select_mode_caps
+                sel = select_mode_caps(self.model_cfg['LEVEL_CAPACITIES'], train)
+                if sel:
+                    caps.update(sel)
             nbr1 = rulebook.subm_rulebook(st, 3)
 
         # level 1 (stride 1)

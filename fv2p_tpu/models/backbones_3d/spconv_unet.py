@@ -90,7 +90,10 @@ class UNetV2(nn.Module):
             st = input_sparse_tensor(batch_dict, s1)
             caps = level_capacities(st.capacity)
             if self.model_cfg is not None and 'LEVEL_CAPACITIES' in self.model_cfg:
-                caps.update(self.model_cfg['LEVEL_CAPACITIES'])
+                from ...ops.sparse.host_rulebook import select_mode_caps
+                sel = select_mode_caps(self.model_cfg['LEVEL_CAPACITIES'], train)
+                if sel:
+                    caps.update(sel)
             nbr1 = rulebook.subm_rulebook(st, 3)
 
         # -- encoder (reference spconv_unet.py:64-106) ----------------------

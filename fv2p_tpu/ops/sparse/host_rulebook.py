@@ -48,6 +48,22 @@ def level_capacities(base_capacity):
             'out': int(0.36 * c) + 256}
 
 
+def select_mode_caps(caps_override, training):
+    """Resolve an optional per-mode LEVEL_CAPACITIES layout.
+
+    A flat ``{level: rows}`` dict applies to both modes. A nested
+    ``{'train': {...}, 'test': {...}}`` dict (either key optional) selects
+    by mode — needed when the dataset's train/test voxel caps differ (e.g.
+    KITTI 16000 train / 40000 test), since a flat override sized for one
+    mode is either overflowing or 2.5x oversized for the other. A missing
+    mode key means "use the derived defaults"."""
+    if not caps_override:
+        return None
+    if 'train' in caps_override or 'test' in caps_override:
+        return caps_override.get('train' if training else 'test')
+    return caps_override
+
+
 def backbone_spec(backbone_name, grid_size, voxel_capacity,
                   caps_override=None, strict=True):
     """Static conv topology of a backbone: list of level dicts.
