@@ -76,11 +76,15 @@ def _quad_sample_impl(quad, sy, sx, mod, h, w):
     ok = ((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
     cell = jnp.where(ok, (y0i + 1) * wq + (x0i + 1), hq * wq)
 
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
-    rows = jax.vmap(lambda arr, idx: jax.lax.gather(
-        arr, idx[:, None], dnums, slice_sizes=(1, 4 * cg),
-        mode='clip'))(quad, cell.reshape(bg, s))
+    # NOTE: this row gather MUST stay jnp.take_along_axis. The equivalent
+    # vmapped jax.lax.gather (GatherDimensionNumbers + mode='clip') is
+    # miscompiled by the axon TPU runtime: with trained (non-zero-offset)
+    # weights the compiled full-resolution MGAF eval program kills the TPU
+    # worker ("kernel fault"), even though every `cell` index is in-bounds
+    # by construction. Bisected 2026-08-19: identical program with this
+    # take_along_axis lowering runs clean; the vmapped-gather variant
+    # crashes deterministically. See tools/repro_axon_gather_fault.py.
+    rows = jnp.take_along_axis(quad, cell.reshape(bg, s)[..., None], axis=1)
     rows = rows.reshape(b, g, s, 4, cg)
 
     wdt = quad.dtype

@@ -113,8 +113,9 @@ def run_one(cfg_path, n_train_steps=3):
     res['eval_boxes'] = int(np.asarray(out['pred_valid']).sum())
 
     of = host_rulebook.get_overflow_stats()
-    res['rulebook_overflow_samples'] = int(of['samples_over'])
-    assert of['samples_over'] == 0, f'rulebook overflow at full caps: {of}'
+    n_over = sum(of['samples_over'].values())
+    res['rulebook_overflow_samples'] = int(n_over)
+    assert n_over == 0, f'rulebook overflow at full caps: {of}'
     res['max_active'] = {k: int(v) for k, v in of.get('max_active', {}).items()}
     return res
 
