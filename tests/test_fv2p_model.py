@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests.jitu import jgrad, jinit, japply
+
 from fv2p_tpu.config import EasyDict
 from fv2p_tpu.models import build_network
 from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
@@ -131,16 +133,16 @@ def fv2p_setup():
     batch, meta = make_fv2p_batch()
     model = build_network(TINY_FV2P_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(
-        {'params': jax.random.PRNGKey(0),
-         'sampling': jax.random.PRNGKey(1),
-         'dropout': jax.random.PRNGKey(2)}, dict(batch), train=False)
+    variables = jinit(
+        model, {'params': jax.random.PRNGKey(0),
+                'sampling': jax.random.PRNGKey(1),
+                'dropout': jax.random.PRNGKey(2)}, dict(batch))
     return model, variables, batch
 
 
 def test_fv2p_inference_end_to_end(fv2p_setup):
     model, variables, batch = fv2p_setup
-    out = model.apply(variables, dict(batch), train=False)
+    out = japply(model, variables, dict(batch))
     # two-pass outputs with TEST post size
     assert out['batch_box_preds'].shape == (2, 12, 7)
     assert out['pred_boxes'].shape == (2, 8, 7)
@@ -162,7 +164,7 @@ def test_fv2p_training_loss_and_grads(fv2p_setup):
         loss, tb = compute_training_loss(model, out)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)

@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tests.jitu import jgrad, jinit, japply
 from fv2p_tpu.models import build_network
 from fv2p_tpu.ops.sparse import host_rulebook
 from tests.test_mgaf_model import TINY_DATA_CFG, TINY_MODEL_CFG, make_batch
@@ -43,9 +44,9 @@ def test_host_rulebooks_match_device_path():
     batch, meta = _clustered_batch(batch_size=2, n_cap=256)
     model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
 
-    out_dev = model.apply(variables, dict(batch), train=False)
+    out_dev = japply(model, variables, dict(batch))
 
     batch_np = {k: np.asarray(v).copy() for k, v in batch.items()}
     host_rulebook.prepare_batch_rulebooks(
@@ -53,7 +54,7 @@ def test_host_rulebooks_match_device_path():
     batch_host = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
                       {kk: jnp.asarray(vv) for kk, vv in v.items()})
                   for k, v in batch_np.items()}
-    out_host = model.apply(variables, dict(batch_host), train=False)
+    out_host = japply(model, variables, dict(batch_host))
 
     np.testing.assert_allclose(
         np.asarray(out_dev['spatial_features']),

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests.jitu import jgrad, jinit, japply
+
 from fv2p_tpu.config import EasyDict
 from fv2p_tpu.models import build_network
 from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
@@ -121,13 +123,13 @@ def model_and_vars():
     batch, meta = make_batch()
     model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
     return model, variables, batch
 
 
 def test_inference_shapes(model_and_vars):
     model, variables, batch = model_and_vars
-    out = model.apply(variables, dict(batch), train=False)
+    out = japply(model, variables, dict(batch))
     assert out['batch_box_preds'].shape == (2, 10, 7)
     assert out['batch_cls_preds'].shape == (2, 10, 1)
     assert out['pred_boxes'].shape == (2, 5, 7)
@@ -157,7 +159,7 @@ def test_training_loss_finite_and_grads(model_and_vars):
         loss, tb = compute_training_loss(model, out)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), tb
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
@@ -171,7 +173,7 @@ def test_training_loss_finite_and_grads(model_and_vars):
 def test_decode_geometry_sane(model_and_vars):
     """Decoded boxes must land inside (an expanded) point cloud range."""
     model, variables, batch = model_and_vars
-    out = model.apply(variables, dict(batch), train=False)
+    out = japply(model, variables, dict(batch))
     boxes = np.asarray(out['batch_box_preds'])
     # with random weights offsets are small; centers must be within range+-2m
     assert (boxes[..., 0] > -3).all() and (boxes[..., 0] < 10).all()

@@ -7,6 +7,7 @@ import pytest
 from fv2p_tpu.config import EasyDict
 from fv2p_tpu.models import build_network
 from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
+from tests.jitu import jinit, japply, jgrad
 from tests.test_mgaf_model import TINY_DATA_CFG, make_batch
 
 _ANCHOR_CFG = [
@@ -71,8 +72,8 @@ def test_zoo_inference_and_training(cfg):
     batch, meta = make_batch(batch_size=2, n_cap=128)
     model = build_network(cfg, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
@@ -85,7 +86,7 @@ def test_zoo_inference_and_training(cfg):
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), tb
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -161,8 +162,8 @@ def test_pvrcnn_inference_and_training():
                          dataset_meta=meta)
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
-    variables = model.init(rngs, dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, rngs, dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
@@ -178,7 +179,7 @@ def test_pvrcnn_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -249,8 +250,8 @@ def test_pointrcnn_inference_and_training():
                          dataset_meta=meta)
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
-    variables = model.init(rngs, dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, rngs, dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
@@ -266,7 +267,7 @@ def test_pointrcnn_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -327,8 +328,8 @@ def test_voxelrcnn_inference_and_training():
                          dataset_meta=meta)
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
-    variables = model.init(rngs, dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, rngs, dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
@@ -344,7 +345,7 @@ def test_voxelrcnn_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -361,7 +362,7 @@ def test_atss_assigner_second():
     batch, meta = make_batch(batch_size=2, n_cap=128)
     model = build_network(cfg, num_class=1, class_names=['Car'],
                           dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
 
     def loss_fn(params):
         o, _ = model.apply(
@@ -370,11 +371,10 @@ def test_atss_assigner_second():
             dict(batch), train=True, mutable=['batch_stats'])
         return compute_training_loss(model, o)
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables['params'])
+    (loss, tb), grads = jgrad(loss_fn, variables['params'])
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     # the two planted gt cars must produce positive anchors (force match)
-    o, _ = model.apply(variables, dict(batch), train=True,
-                       mutable=['batch_stats'])
+    o, _ = japply(model, variables, dict(batch), train=True,
+                  mutable=['batch_stats'])
     labels = np.asarray(o['anchor_head_ret']['box_cls_labels'])
     assert (labels > 0).sum() >= 2 * labels.shape[0]

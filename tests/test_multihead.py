@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tests.jitu import jgrad, jinit, japply
 from fv2p_tpu.config import EasyDict
 from fv2p_tpu.models import build_network
 from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
@@ -81,8 +82,8 @@ def test_multihead_inference_and_training():
     classes = ['car', 'truck', 'pedestrian']
     model = build_network(MULTIHEAD_CFG, num_class=3, class_names=classes,
                           dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
+    out = japply(model, variables, dict(batch))
     # multi-class NMS: (B, C*post) slots, 9-dim boxes with velocity
     assert out['pred_boxes'].shape == (2, 3 * 8, 9)
     assert out['pred_labels'].shape == (2, 24)
@@ -100,7 +101,7 @@ def test_multihead_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     assert 'rpn_loss_dir' in tb
     leaves = jax.tree_util.tree_leaves(grads)
@@ -129,8 +130,8 @@ def test_multihead_no_separate_reg():
     model = build_network(cfg, num_class=3,
                           class_names=['car', 'truck', 'pedestrian'],
                           dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape[-1] == 7
 
     def loss_fn(params):
@@ -140,8 +141,7 @@ def test_multihead_no_separate_reg():
             dict(batch), train=True, mutable=['batch_stats'])
         return compute_training_loss(model, o)
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables['params'])
+    (loss, tb), grads = jgrad(loss_fn, variables['params'])
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))

@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tests.jitu import jgrad, jinit, japply
 from fv2p_tpu.config import EasyDict
 from fv2p_tpu.models import build_network
 from fv2p_tpu.models.detectors.detector3d_template import compute_training_loss
@@ -106,8 +107,8 @@ def test_parta2_inference_and_training():
                           dataset_meta=meta)
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
-    variables = model.init(rngs, dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, rngs, dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
     # part predictions surfaced for the second stage
@@ -125,7 +126,7 @@ def test_parta2_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -162,8 +163,8 @@ def test_parta2_free_inference_and_training():
                           dataset_meta=meta)
     rngs = {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
             'dropout': jax.random.PRNGKey(2)}
-    variables = model.init(rngs, dict(batch), train=False)
-    out = model.apply(variables, dict(batch), train=False)
+    variables = jinit(model, rngs, dict(batch))
+    out = japply(model, variables, dict(batch))
     assert out['pred_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(out['pred_boxes'])).all()
 
@@ -179,7 +180,7 @@ def test_parta2_free_inference_and_training():
         loss, tb = compute_training_loss(model, o)
         return loss, tb
 
-    (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, tb), grads = jgrad(loss_fn, params)
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     assert 'point_loss_part' in tb and 'point_loss_box' in tb
     leaves = jax.tree_util.tree_leaves(grads)

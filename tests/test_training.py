@@ -6,6 +6,7 @@ import numpy as np
 
 from fv2p_tpu.train_utils import optimization
 from fv2p_tpu.train_utils.train_state import create_train_state, make_train_step
+from tests.jitu import jinit
 
 
 def _ref_annealing_cos(start, end, pct):
@@ -41,7 +42,7 @@ def _tiny_setup():
     batch, meta = make_batch()
     model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=True)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch), train=True)
     optim_cfg = EasyDict({
         'OPTIMIZER': 'adam_onecycle', 'LR': 0.003, 'WEIGHT_DECAY': 0.01,
         'MOMENTUM': 0.9, 'MOMS': [0.95, 0.85], 'PCT_START': 0.4,
@@ -78,7 +79,7 @@ def test_data_parallel_step_8dev():
     batch, meta = make_batch(batch_size=8, n_cap=64)
     model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=True)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch), train=True)
     optim_cfg = EasyDict({
         'OPTIMIZER': 'adam_onecycle', 'LR': 0.003, 'WEIGHT_DECAY': 0.01,
         'MOMENTUM': 0.9, 'MOMS': [0.95, 0.85], 'PCT_START': 0.4,
@@ -123,7 +124,7 @@ def test_overfit_sanity_loss_decreases():
     batch, meta = make_batch()
     model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
                          dataset_meta=meta)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=True)
+    variables = jinit(model, jax.random.PRNGKey(0), dict(batch), train=True)
     optim_cfg = EasyDict({'OPTIMIZER': 'adam', 'LR': 0.003,
                           'WEIGHT_DECAY': 0.0, 'GRAD_NORM_CLIP': 10})
     state = create_train_state(
