@@ -132,31 +132,11 @@ class DataBaseSampler:
 
     @staticmethod
     def _boxes_bev_iou(boxes_a, boxes_b):
-        """Axis-aligned-enclosing BEV IoU for collision rejection — the
-        reference uses rotated iou_nearest; an enclosing-box test is an
-        equally conservative collision filter for pasting. Pure numpy: this
-        runs inside DataLoader worker processes (no device dispatch)."""
-        if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
-            return np.zeros((boxes_a.shape[0], boxes_b.shape[0]), np.float32)
-
-        def enclosing(b):
-            half = (np.abs(b[:, 3] * np.cos(b[:, 6]))
-                    + np.abs(b[:, 4] * np.sin(b[:, 6]))) / 2
-            halfy = (np.abs(b[:, 3] * np.sin(b[:, 6]))
-                     + np.abs(b[:, 4] * np.cos(b[:, 6]))) / 2
-            return np.stack([b[:, 0] - half, b[:, 1] - halfy,
-                             b[:, 0] + half, b[:, 1] + halfy], axis=1)
-
-        a, bb = enclosing(boxes_a), enclosing(boxes_b)
-        iw = (np.minimum(a[:, None, 2], bb[None, :, 2])
-              - np.maximum(a[:, None, 0], bb[None, :, 0])).clip(min=0)
-        ih = (np.minimum(a[:, None, 3], bb[None, :, 3])
-              - np.maximum(a[:, None, 1], bb[None, :, 1])).clip(min=0)
-        inter = iw * ih
-        area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
-        area_b = ((bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1]))[None, :]
-        return (inter / np.maximum(area_a + area_b - inter, 1e-6)
-                ).astype(np.float32)
+        """Exact rotated BEV IoU for collision rejection, matching the
+        reference's ``boxes_bev_iou_cpu`` (``database_sampler.py:184-185``
+        -> ``iou3d_cpu.cpp``). Pure numpy: this runs inside DataLoader
+        worker processes (no device dispatch)."""
+        return box_utils.boxes_bev_iou_cpu_np(boxes_a, boxes_b)
 
     def __call__(self, data_dict):
         gt_boxes = data_dict['gt_boxes']

@@ -56,10 +56,27 @@ def select_mode_caps(caps_override, training):
     by mode — needed when the dataset's train/test voxel caps differ (e.g.
     KITTI 16000 train / 40000 test), since a flat override sized for one
     mode is either overflowing or 2.5x oversized for the other. A missing
-    mode key means "use the derived defaults"."""
+    mode key means "use the derived defaults".
+
+    A dict mixing mode keys WITH flat level keys is rejected: the yaml
+    ``_BASE_CONFIG_`` recursive merge produces exactly that shape when a
+    child config pins flat caps over a base's nested per-mode caps, and
+    silently preferring the mode keys would discard the child's pins
+    (the base's caps win and the pin is a no-op). Child configs must pin
+    nested ``{'train': ..., 'test': ...}`` so their mode keys shadow the
+    base's after the merge."""
     if not caps_override:
         return None
-    if 'train' in caps_override or 'test' in caps_override:
+    has_mode = 'train' in caps_override or 'test' in caps_override
+    flat_keys = set(caps_override) - {'train', 'test'}
+    if has_mode and flat_keys:
+        raise ValueError(
+            'LEVEL_CAPACITIES mixes per-mode keys with flat level keys '
+            f'({sorted(flat_keys)}): a _BASE_CONFIG_ merge of flat child '
+            'pins over nested base caps produces this and would silently '
+            'discard the pins. Express the child override as nested '
+            "{'train': {...}, 'test': {...}}.")
+    if has_mode:
         return caps_override.get('train' if training else 'test')
     return caps_override
 

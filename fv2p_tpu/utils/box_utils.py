@@ -195,6 +195,78 @@ def boxes3d_kitti_camera_to_imageboxes(boxes3d, calib, image_shape=None):
     return boxes2d_image
 
 
+def bev_corners_np(boxes3d):
+    """(N,7) lidar boxes -> (N,4,2) BEV corner polygons, CCW order (numpy)."""
+    dx, dy = boxes3d[:, 3] / 2, boxes3d[:, 4] / 2
+    local = np.stack([np.stack([dx, dy], -1), np.stack([-dx, dy], -1),
+                      np.stack([-dx, -dy], -1), np.stack([dx, -dy], -1)],
+                     axis=1)                                   # (N, 4, 2)
+    c, s = np.cos(boxes3d[:, 6]), np.sin(boxes3d[:, 6])
+    # row-vector rotation matching rotate_points_along_z: x' = x*c - y*s
+    rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], axis=1)
+    return local @ rot + boxes3d[:, None, 0:2]
+
+
+def _clip_poly_np(subject, clip):
+    """Sutherland-Hodgman: clip polygon ``subject`` (S,2) by convex CCW
+    ``clip`` (4,2); returns the intersection area (host float64)."""
+    out = [subject[i] for i in range(subject.shape[0])]
+    for i in range(clip.shape[0]):
+        a = clip[i]
+        b = clip[(i + 1) % clip.shape[0]]
+        edge = b - a
+        inp, out = out, []
+        if not inp:
+            return 0.0
+        prev = inp[-1]
+        prev_in = edge[0] * (prev[1] - a[1]) - edge[1] * (prev[0] - a[0]) >= 0
+        for q in inp:
+            q_in = edge[0] * (q[1] - a[1]) - edge[1] * (q[0] - a[0]) >= 0
+            if q_in != prev_in:
+                d = q - prev
+                denom = edge[0] * d[1] - edge[1] * d[0]
+                if denom != 0:
+                    t = (edge[0] * (a[1] - prev[1])
+                         - edge[1] * (a[0] - prev[0])) / denom
+                    out.append(prev + t * d)
+            if q_in:
+                out.append(q)
+            prev, prev_in = q, q_in
+    if len(out) < 3:
+        return 0.0
+    poly = np.asarray(out)
+    x, y = poly[:, 0], poly[:, 1]
+    return float(np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+                 / 2)
+
+
+def boxes_bev_iou_cpu_np(boxes_a, boxes_b):
+    """Exact rotated BEV IoU, pure numpy, for host-side use (dataloader
+    workers). Matches the reference's ``boxes_bev_iou_cpu``
+    (``pcdet/ops/iou3d_nms/iou3d_nms_utils.py`` -> ``iou3d_cpu.cpp``
+    rotated-rectangle polygon clipping). An axis-aligned enclosing-box
+    prefilter skips the exact clip for clearly-disjoint pairs."""
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    iou = np.zeros((n, m), np.float32)
+    if n == 0 or m == 0:
+        return iou
+    ca = bev_corners_np(boxes_a.astype(np.float64))
+    cb = bev_corners_np(boxes_b.astype(np.float64))
+    lo_a, hi_a = ca.min(axis=1), ca.max(axis=1)
+    lo_b, hi_b = cb.min(axis=1), cb.max(axis=1)
+    overlap = ((lo_a[:, None, 0] <= hi_b[None, :, 0])
+               & (hi_a[:, None, 0] >= lo_b[None, :, 0])
+               & (lo_a[:, None, 1] <= hi_b[None, :, 1])
+               & (hi_a[:, None, 1] >= lo_b[None, :, 1]))
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4]).astype(np.float64)
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4]).astype(np.float64)
+    for i, j in zip(*np.nonzero(overlap)):
+        inter = _clip_poly_np(ca[i], cb[j])
+        denom = max(area_a[i] + area_b[j] - inter, 1e-6)
+        iou[i, j] = inter / denom
+    return iou
+
+
 def in_box_bev_np(points_xy, boxes3d):
     """(N,2) points x (M,7) boxes -> (M,N) bool BEV containment (numpy)."""
     shift = points_xy[None, :, :] - boxes3d[:, None, 0:2]  # (M, N, 2)
