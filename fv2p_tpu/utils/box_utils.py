@@ -179,10 +179,16 @@ def boxes3d_to_corners3d_kitti_camera(boxes3d, bottom_center=True):
 
 def boxes3d_kitti_camera_to_imageboxes(boxes3d, calib, image_shape=None):
     """camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes
-    (reference box_utils.py:279-306)."""
+    (reference box_utils.py:291-312). Projects through ``calib.rect_to_img``
+    (raw rect-z divide), NOT ``corners3d_to_img_boxes`` (homogeneous
+    divide incl. P2's (2,3) term) — the two differ by ~0.25 px on real
+    KITTI calibrations and the reference eval chain uses the former."""
     corners3d = boxes3d_to_corners3d_kitti_camera(boxes3d)
-    pts_img, _ = calib.corners3d_to_img_boxes(corners3d)
-    boxes2d_image = pts_img
+    pts_img, _ = calib.rect_to_img(corners3d.reshape(-1, 3))
+    corners_in_image = pts_img.reshape(-1, 8, 2)
+    min_uv = np.min(corners_in_image, axis=1)
+    max_uv = np.max(corners_in_image, axis=1)
+    boxes2d_image = np.concatenate([min_uv, max_uv], axis=1)
     if image_shape is not None:
         boxes2d_image[:, 0] = np.clip(boxes2d_image[:, 0], a_min=0,
                                       a_max=image_shape[1] - 1)

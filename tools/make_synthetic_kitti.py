@@ -93,6 +93,9 @@ def main(root=None, n_train=32, n_val=24, seed=0):
         'Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0',
     ]) + '\n'
 
+    from fv2p_tpu.utils import box_utils
+    from fv2p_tpu.utils.calibration_kitti import Calibration
+
     for i, sid in enumerate(ids):
         rng = np.random.RandomState(seed * 100003 + i)
         boxes, names = _place_objects(rng)
@@ -100,6 +103,7 @@ def main(root=None, n_train=32, n_val=24, seed=0):
         pts.astype(np.float32).tofile(
             root / 'training' / 'velodyne' / f'{sid}.bin')
         (root / 'training' / 'calib' / f'{sid}.txt').write_text(calib_txt)
+        calib = Calibration(root / 'training' / 'calib' / f'{sid}.txt')
 
         objs = []
         for box, name in zip(boxes, names):
@@ -113,8 +117,25 @@ def main(root=None, n_train=32, n_val=24, seed=0):
             z_bottom = cz - h / 2
             ry_cam = -ry_lidar - np.pi / 2
             ry_cam = (ry_cam + np.pi) % (2 * np.pi) - np.pi
+            # real projected 2D bbox + alpha via the camera output chain
+            # (the same functions eval predictions go through), so image AP
+            # and AOS are meaningful on the fixture (r3 verdict, Missing #2).
+            # Project from the 2-decimal values the label will carry, so
+            # label rows are internally consistent.
+            cy, z_bottom, cx = round(cy, 2), round(z_bottom, 2), round(cx, 2)
+            h, w, l, ry_cam = (round(h, 2), round(w, 2), round(l, 2),
+                               round(ry_cam, 2))
+            box_cam = np.array(
+                [[-cy, -z_bottom, cx, l, h, w, ry_cam]], np.float32)
+            x1, y1, x2, y2 = box_utils.boxes3d_kitti_camera_to_imageboxes(
+                box_cam, calib, image_shape=(384, 1280))[0]
+            # reference alpha convention (kitti_dataset.py:258):
+            # alpha = -arctan2(-y_lidar, x_lidar) + ry_cam
+            alpha = -np.arctan2(-cy, cx) + ry_cam
+            alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
             objs.append(
-                f'{name} 0.00 0 0.0 100 100 200 200 '
+                f'{name} 0.00 0 {alpha:.2f} '
+                f'{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} '
                 f'{h:.2f} {w:.2f} {l:.2f} '
                 f'{-cy:.2f} {-z_bottom:.2f} {cx:.2f} {ry_cam:.2f}')
         (root / 'training' / 'label_2' / f'{sid}.txt').write_text(
