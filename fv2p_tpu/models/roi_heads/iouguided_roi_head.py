@@ -7,6 +7,7 @@ multi-scale grouping SA module aggregated at 6x6x6 grid points, (b) bilinear
 BEV pooling at the global grid points, (c) corner-geometry encoding — fused
 into cls + (iou, 7-dim reg) predictions. Eval runs the two-pass IoU
 alignment; train samples 128 RoIs/image with jax.random (fixed shapes)."""
+import os
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -18,6 +19,14 @@ from ...ops import pointops
 from ...utils import box_coder_utils, box_utils, common_utils, iou3d, loss_utils
 
 _BN = dict(momentum=0.99, epsilon=1e-3)
+
+# Fused-SA kill switch, read ONCE at import: '1' (default, fused Pallas SA at
+# bf16 eval on TPU), '0' (always the XLA path), 'interpret' (Pallas interpret
+# mode, testing only). Read at import because the model apply is jitted and
+# persistently cached — an env change after the first compile would silently
+# have no effect; set it before importing fv2p_tpu (tests monkeypatch the
+# module attribute instead).
+_FUSED_SA_MODE = os.environ.get('FV2P_FUSED_SA', '1')
 
 
 # ---------------------------------------------------------------------------
@@ -257,9 +266,8 @@ class _SAModuleMSG(nn.Module):
         self.mlp_mods = [_MLP1x1(tuple(m), self.use_bn, name=f'mlp{i}')
                          for i, m in enumerate(self.mlps)]
 
-    def _fused_ok(self):
-        import os
-        mode = os.environ.get('FV2P_FUSED_SA', '1')
+    def _fused_ok(self, dtype):
+        mode = _FUSED_SA_MODE
         if mode == '0':
             return False, False
         structural = (len(self.radii) == 2
@@ -269,12 +277,16 @@ class _SAModuleMSG(nn.Module):
             return False, False
         if mode == 'interpret':
             return True, True
-        return jax.default_backend() == 'tpu', False
+        # the kernel computes in bf16 internally — only substitute it when
+        # the model's SA stage already runs bf16, so an explicit
+        # --dtype float32 eval keeps full f32 numerics (ADVICE r3)
+        return (jax.default_backend() == 'tpu'
+                and dtype == jnp.bfloat16), False
 
     def __call__(self, xyz, valid, feats, centers, *, train: bool):
         """xyz (R, P, 3), valid (R, P), feats (R, P, C), centers (R, G, 3)
         -> (R, G, sum(mlp[-1]))."""
-        use_fused, interpret = self._fused_ok()
+        use_fused, interpret = self._fused_ok(feats.dtype)
         if use_fused and not train and not self.is_initializing():
             from ...ops.pallas.sa_group import sa_group_pool_fused
             H = 128  # lane-padded hidden width (both layers are 64-wide)

@@ -14,6 +14,11 @@ from pathlib import Path
 
 _DEFAULT_DIR = Path(__file__).resolve().parents[2] / '.jax_cache'
 
+# resolved by enable_persistent_cache so seed_from_committed always targets
+# the SAME directory (a caller passing cache_dir= to one but not the other
+# would otherwise seed a dir jax never reads)
+_RESOLVED_DIR = None
+
 
 def enable_persistent_cache(cache_dir=None):
     """Point jax at an on-disk compilation cache (idempotent).
@@ -21,8 +26,10 @@ def enable_persistent_cache(cache_dir=None):
     The cache dir can be overridden with env FV2P_JAX_CACHE_DIR; set it to
     the empty string to disable.
     """
+    global _RESOLVED_DIR
     env = os.environ.get('FV2P_JAX_CACHE_DIR')
     if env == '':
+        _RESOLVED_DIR = None
         return None
     path = Path(env) if env else (Path(cache_dir) if cache_dir else _DEFAULT_DIR)
     path.mkdir(parents=True, exist_ok=True)
@@ -33,6 +40,7 @@ def enable_persistent_cache(cache_dir=None):
     # mostly 0.1-5 s compiles, and caching them is the whole point
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    _RESOLVED_DIR = path
     return path
 
 
@@ -40,14 +48,18 @@ def seed_from_committed(cache_dir=None):
     """Copy committed warm-cache entries (artifacts/bench_cache/, produced by
     tools/warm_bench_cache.py) into the live cache dir so first-run bench /
     CI programs skip the multi-minute cold compile. No-op if absent. Call
-    after :func:`enable_persistent_cache`."""
+    after :func:`enable_persistent_cache` (whose resolved directory wins over
+    any cache_dir passed here)."""
     src = Path(__file__).resolve().parents[2] / 'artifacts' / 'bench_cache'
     if not src.is_dir():
         return 0
     env = os.environ.get('FV2P_JAX_CACHE_DIR')
     if env == '':
         return 0
-    dst = Path(env) if env else (Path(cache_dir) if cache_dir else _DEFAULT_DIR)
+    if _RESOLVED_DIR is not None:
+        dst = _RESOLVED_DIR
+    else:
+        dst = Path(env) if env else (Path(cache_dir) if cache_dir else _DEFAULT_DIR)
     dst.mkdir(parents=True, exist_ok=True)
     n = 0
     for f in src.iterdir():

@@ -1,6 +1,7 @@
 """Fused Pallas SA (group+MLP+maxpool, ops/pallas/sa_group.py) must match
 the XLA ball_query_group + _MLP1x1 + max path bit-closely. Runs the kernel
-in interpret mode on CPU (FV2P_FUSED_SA=interpret)."""
+in interpret mode on CPU (monkeypatching the import-time
+_FUSED_SA_MODE switch; the env var itself is read once at import)."""
 import os
 
 import jax
@@ -8,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import fv2p_tpu.models.roi_heads.iouguided_roi_head as igrh
 from fv2p_tpu.models.roi_heads.iouguided_roi_head import _SAModuleMSG
 
 RADII = (0.8, 1.6)
@@ -49,10 +51,10 @@ def test_fused_matches_xla(use_bn, monkeypatch):
             lambda x: x + jnp.linspace(0.1, 0.5, x.shape[-1]), vars_['batch_stats'])
         vars_ = {'params': vars_['params'], 'batch_stats': bs}
 
-    monkeypatch.setenv('FV2P_FUSED_SA', '0')
+    monkeypatch.setattr(igrh, '_FUSED_SA_MODE', '0')
     ref = mod.apply(vars_, xyz, valid, feats, centers, train=False)
 
-    monkeypatch.setenv('FV2P_FUSED_SA', 'interpret')
+    monkeypatch.setattr(igrh, '_FUSED_SA_MODE', 'interpret')
     fused = mod.apply(vars_, xyz, valid, feats, centers, train=False)
 
     assert fused.shape == ref.shape == (3, 27, 128)
@@ -71,9 +73,9 @@ def test_fused_empty_ball_semantics(monkeypatch):
     mod = _SAModuleMSG(RADII, NSAMPLES, MLPS, use_bn=False)
     vars_ = mod.init(jax.random.PRNGKey(1), xyz, valid, feats, centers,
                      train=True)
-    monkeypatch.setenv('FV2P_FUSED_SA', '0')
+    monkeypatch.setattr(igrh, '_FUSED_SA_MODE', '0')
     ref = mod.apply(vars_, xyz, valid, feats, centers, train=False)
-    monkeypatch.setenv('FV2P_FUSED_SA', 'interpret')
+    monkeypatch.setattr(igrh, '_FUSED_SA_MODE', 'interpret')
     fused = mod.apply(vars_, xyz, valid, feats, centers, train=False)
     err = np.abs(np.asarray(fused, np.float32) - np.asarray(ref, np.float32))
     scale = np.maximum(np.abs(np.asarray(ref, np.float32)), 1.0)
