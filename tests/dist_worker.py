@@ -33,8 +33,10 @@ enable_persistent_cache()
 
 
 def run_one_step(global_batch_size=8):
-    """Build tiny MGAF, run one DP train step over all global devices.
+    """Build the model, run one DP train step over all global devices.
 
+    DIST_MODE=flagship uses the real mgaf-3dssd.yaml topology with reduced
+    caps (tests/flagship_mesh.py); default is the tiny-MGAF config.
     Returns {'loss': float, 'grad_norm': float, 'param_sum': float}. Pure
     function of the fixed seeds — identical across ranks and process counts.
     """
@@ -48,18 +50,24 @@ def run_one_step(global_batch_size=8):
                                    replicate_global, shard_batch_global)
     from fv2p_tpu.train_utils.optimization import build_optimizer
     from fv2p_tpu.train_utils.train_state import create_train_state
-    from tests.test_mgaf_model import TINY_DATA_CFG, TINY_MODEL_CFG
 
-    meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
-    model = build_network(TINY_MODEL_CFG, num_class=1, class_names=['Car'],
-                          dataset_meta=meta)
-    batch = ge._synthetic_batch(meta, batch_size=global_batch_size, n_cap=64,
-                                n_fill=48, with_gt=True, max_objs=10)
-    batch_np = {k: np.asarray(v) for k, v in batch.items()}
+    if os.environ.get('DIST_MODE') == 'flagship':
+        from tests.flagship_mesh import build_flagship_reduced
+        _, model, batch_np = build_flagship_reduced(
+            split='train', batch_size=global_batch_size, with_gt=True)
+    else:
+        from tests.test_mgaf_model import TINY_DATA_CFG, TINY_MODEL_CFG
+        meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
+        model = build_network(TINY_MODEL_CFG, num_class=1,
+                              class_names=['Car'], dataset_meta=meta)
+        batch = ge._synthetic_batch(meta, batch_size=global_batch_size,
+                                    n_cap=64, n_fill=48, with_gt=True,
+                                    max_objs=10)
+        batch_np = {k: np.asarray(v) for k, v in batch.items()}
     variables = jax.jit(
         lambda r, b: model.init(r, b, train=True))(
             jax.random.PRNGKey(0),
-            {k: v[:1] for k, v in batch_np.items()})
+            jax.tree_util.tree_map(lambda v: v[:1], batch_np))
     variables = jax.tree_util.tree_map(np.asarray, variables)
     optim_cfg = EasyDict({
         'OPTIMIZER': 'adam_onecycle', 'LR': 0.003, 'WEIGHT_DECAY': 0.01,

@@ -8,7 +8,19 @@ bf16) for a few steps, then one jitted eval batch through post-processing —
 asserting no rulebook overflow and no TPU fault, and recording step/eval
 times to a JSON artifact.
 
-Usage:  cd tools && python smoke_flagship_res.py --out ../artifacts/smoke_flagship_r03.json
+With --ckpt_<name> the eval phase restores trained gate weights and ASSERTS
+the full-resolution program produces detections (eval_boxes > 0) — the r3
+smoke only crash-tested eval and committed MGAF's 0 boxes as a pass
+(VERDICT r3 weak 2).
+
+--configs runs other yamls, e.g. the Waymo flagships against the synthetic
+Waymo fixture (VERDICT r3 item 7).
+
+Usage:
+  cd tools && python smoke_flagship_res.py --out ../artifacts/smoke_flagship_r04.json \
+      --ckpt_mgaf-3dssd <ckpt dir> --ckpt_fv2p <ckpt dir>
+  cd tools && python smoke_flagship_res.py --out ../artifacts/smoke_waymo_r04.json \
+      --configs cfgs/waymo_models/MGAF-3DSSD/waymo_mgaf-3dssd_e36.yaml,cfgs/waymo_models/FV2P/waymo_fv2p_e30.yaml
 """
 import argparse
 import json
@@ -20,7 +32,23 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_one(cfg_path, n_train_steps=3):
+def _restore_params(ckpt_path):
+    """Orbax-restore {params, batch_stats} to host numpy (same recipe as
+    tools/test.py:_restore_variables)."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+    path = Path(ckpt_path).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    restored = ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    return restored
+
+
+def run_one(cfg_path, n_train_steps=3, ckpt=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,7 +128,13 @@ def run_one(cfg_path, n_train_steps=3):
                            compute_dtype=jnp.bfloat16)
     ebatch = to_jnp(test_set.collate_batch(
         [test_set[j] for j in range(batch_size)]))
-    evars = {'params': state.params, 'batch_stats': state.batch_stats or {}}
+    if ckpt:
+        restored = _restore_params(ckpt)
+        evars = {'params': restored['params'],
+                 'batch_stats': restored.get('batch_stats') or {}}
+        res['eval_ckpt'] = str(ckpt)
+    else:
+        evars = {'params': state.params, 'batch_stats': state.batch_stats or {}}
     infer = jax.jit(lambda v, b: emodel.apply(v, dict(b), train=False))
     t0 = time.time()
     out = infer(evars, ebatch)
@@ -111,6 +145,11 @@ def run_one(cfg_path, n_train_steps=3):
     sync(out['pred_scores'])
     res['eval_batch_ms'] = round((time.time() - t0) * 1e3, 1)
     res['eval_boxes'] = int(np.asarray(out['pred_valid']).sum())
+    if ckpt:
+        # trained gate weights at full resolution MUST detect something
+        assert res['eval_boxes'] > 0, (
+            f'{name}: full-resolution eval with trained weights {ckpt} '
+            f'produced ZERO boxes')
 
     of = host_rulebook.get_overflow_stats()
     n_over = sum(of['samples_over'].values())
@@ -123,7 +162,18 @@ def run_one(cfg_path, n_train_steps=3):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', type=str, default=None)
-    args = parser.parse_args()
+    parser.add_argument(
+        '--configs', type=str,
+        default='cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd.yaml,'
+                'cfgs/kitti_models/FV2P/fv2p.yaml')
+    parser.add_argument('--n_train_steps', type=int, default=3)
+    args, extra = parser.parse_known_args()
+    # --ckpt_<config-stem> <path>: eval with trained weights + assert boxes
+    ckpts = {}
+    it = iter(extra)
+    for tok in it:
+        assert tok.startswith('--ckpt_'), f'unknown arg {tok}'
+        ckpts[tok[len('--ckpt_'):]] = next(it)
 
     from fv2p_tpu.utils.platform import apply_platform_override
     apply_platform_override()
@@ -132,9 +182,10 @@ def main():
     import jax
 
     results = {'device': str(jax.devices()[0].device_kind)}
-    for cfg_path in ('cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd.yaml',
-                     'cfgs/kitti_models/FV2P/fv2p.yaml'):
-        r = run_one(cfg_path)
+    for cfg_path in args.configs.split(','):
+        stem = Path(cfg_path).stem
+        r = run_one(cfg_path, n_train_steps=args.n_train_steps,
+                    ckpt=ckpts.get(stem))
         results[r['config']] = r
         print(json.dumps(r))
     if args.out:
