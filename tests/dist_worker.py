@@ -13,10 +13,12 @@ import os
 import sys
 from pathlib import Path
 
+_DEV_PER_PROC = int(os.environ.get('DIST_DEVICES_PER_PROC', '4'))
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in xla_flags:
     os.environ['XLA_FLAGS'] = (
-        xla_flags + ' --xla_force_host_platform_device_count=4').strip()
+        xla_flags +
+        f' --xla_force_host_platform_device_count={_DEV_PER_PROC}').strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax
@@ -54,7 +56,7 @@ def run_one_step(global_batch_size=8):
     if os.environ.get('DIST_MODE') == 'flagship':
         from tests.flagship_mesh import build_flagship_reduced
         _, model, batch_np = build_flagship_reduced(
-            split='train', batch_size=global_batch_size, with_gt=True)
+            split='train', batch_size=len(jax.devices()), with_gt=True)
     else:
         from tests.test_mgaf_model import TINY_DATA_CFG, TINY_MODEL_CFG
         meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
@@ -104,7 +106,7 @@ def main():
         coordinator_address=os.environ['JAX_COORDINATOR_ADDRESS'],
         num_processes=int(os.environ['JAX_NUM_PROCESSES']),
         process_id=int(os.environ['JAX_PROCESS_ID']))
-    n = int(os.environ['JAX_NUM_PROCESSES']) * 4
+    n = int(os.environ['JAX_NUM_PROCESSES']) * _DEV_PER_PROC
     assert len(jax.devices()) == n, jax.devices()
     out = run_one_step()
     out['process_id'] = jax.process_index()

@@ -20,7 +20,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _launch_workers(n_proc=2, mode=None):
+def _launch_workers(n_proc=2, mode=None, dev_per_proc=4):
     port = _free_port()
     procs = []
     for rank in range(n_proc):
@@ -29,7 +29,8 @@ def _launch_workers(n_proc=2, mode=None):
             JAX_COORDINATOR_ADDRESS=f'localhost:{port}',
             JAX_NUM_PROCESSES=str(n_proc),
             JAX_PROCESS_ID=str(rank),
-            XLA_FLAGS='--xla_force_host_platform_device_count=4',
+            DIST_DEVICES_PER_PROC=str(dev_per_proc),
+            XLA_FLAGS=f'--xla_force_host_platform_device_count={dev_per_proc}',
             JAX_PLATFORMS='cpu',
         )
         if mode:
@@ -40,7 +41,9 @@ def _launch_workers(n_proc=2, mode=None):
             stderr=subprocess.STDOUT, text=True))
     results = {}
     for rank, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
+        # generous: both ranks compile the full program serially on the
+        # suite's single contended core (observed 781 s pass / 900 s flake)
+        out, _ = p.communicate(timeout=2400)
         assert p.returncode == 0, f'rank {rank} failed:\n{out[-4000:]}'
         line = [ln for ln in out.splitlines() if ln.startswith('DIST_RESULT ')]
         assert line, f'rank {rank} printed no result:\n{out[-4000:]}'
@@ -70,11 +73,13 @@ def test_two_process_dp_matches_single_process():
 @pytest.mark.slow
 def test_two_process_flagship_train_step():
     """One DP train step of the REAL mgaf-3dssd.yaml topology (reduced caps,
-    tests/flagship_mesh.py) across 2 processes x 4 devices — until r4 only
+    tests/flagship_mesh.py) across 2 processes x 2 devices — until r4 only
     64-voxel toy configs had ever crossed a multi-process mesh (VERDICT r3
-    item 6). Ranks must agree bit-for-bit and the loss must be finite."""
-    results = _launch_workers(2, mode='flagship')
-    assert results[0]['n_devices'] == 8
+    item 6). Ranks must agree bit-for-bit and the loss must be finite.
+    2x2 (not 2x4): the cross-process wiring under test is identical, and the
+    batch-4 program compiles ~2x faster on the 1-core CI host."""
+    results = _launch_workers(2, mode='flagship', dev_per_proc=2)
+    assert results[0]['n_devices'] == 4
     for key in ('loss', 'grad_norm', 'param_sum'):
         np.testing.assert_allclose(results[0][key], results[1][key],
                                    rtol=1e-6, err_msg=key)
