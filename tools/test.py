@@ -135,9 +135,13 @@ def main():
         test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
                               caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
+    # spawn + persistent workers — fork from the multithreaded JAX process
+    # deadlocks (see the matching note in train.py)
     loader = torch_data.DataLoader(
         test_set, batch_size=batch_size, num_workers=args.workers,
-        shuffle=False, collate_fn=test_set.collate_batch, drop_last=False)
+        shuffle=False, collate_fn=test_set.collate_batch, drop_last=False,
+        persistent_workers=args.workers > 0,
+        multiprocessing_context='spawn' if args.workers > 0 else None)
 
     meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, 'test')
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),

@@ -126,10 +126,16 @@ def main():
         train_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
                               caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
+    # spawn + persistent workers: the default fork context re-forks workers
+    # every epoch from the multithreaded JAX main process, which eventually
+    # deadlocks in the child (observed: worker frozen at 0 CPU mid-run,
+    # train loop blocked on its queue). Spawned workers never inherit JAX's
+    # thread/lock state and persist across epochs.
     loader = torch_data.DataLoader(
         train_set, batch_size=batch_size, num_workers=args.workers,
         shuffle=True, collate_fn=train_set.collate_batch, drop_last=True,
-        pin_memory=False)
+        pin_memory=False, persistent_workers=args.workers > 0,
+        multiprocessing_context='spawn' if args.workers > 0 else None)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * epochs
 
@@ -283,7 +289,9 @@ def main():
                               caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
         test_loader = torch_data.DataLoader(
             test_set, batch_size=batch_size, num_workers=args.workers,
-            shuffle=False, collate_fn=test_set.collate_batch, drop_last=False)
+            shuffle=False, collate_fn=test_set.collate_batch, drop_last=False,
+            persistent_workers=args.workers > 0,
+            multiprocessing_context='spawn' if args.workers > 0 else None)
         eval_meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, 'test')
         eval_model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                                    class_names=cfg.CLASS_NAMES,
