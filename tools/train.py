@@ -271,6 +271,21 @@ def main():
                 'RSS %.1f GB > --max_rss_gb %.1f at epoch %d: re-exec to '
                 'reclaim leaked transfer buffers (auto-resume continues)'
                 % (rss_gb, args.max_rss_gb, epoch + 1))
+            # shut down the persistent DataLoader workers BEFORE execv: the
+            # new process image knows nothing about them, so each re-exec
+            # otherwise leaks a 4-worker generation (~2 GB RSS) — and with
+            # several leaked generations attached to the remote-TPU tunnel
+            # the next generation's first batch deadlocks (observed at the
+            # third generation of an fv2p_overfit_fullres run).
+            try:
+                if getattr(loader, '_iterator', None) is not None:
+                    loader._iterator._shutdown_workers()
+                    loader._iterator = None
+            except Exception as e:  # never let cleanup block the restart
+                logger.warning('loader shutdown before re-exec failed: %s' % e)
+            import multiprocessing
+            for child in multiprocessing.active_children():
+                child.terminate()
             os.execv(sys.executable, [sys.executable] + sys.argv)
     mgr.wait_until_finished()
     logger.info('**********************End training**********************')
