@@ -23,6 +23,7 @@ the per-chip parity point is 5*20/8 = 12.5 scans/s. vs_baseline >= 1.0
 therefore means the north-star throughput is met on this chip.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -69,9 +70,17 @@ def main():
     from fv2p_tpu.utils.compile_cache import (enable_persistent_cache,
                                               seed_from_committed)
     enable_persistent_cache()
-    n = seed_from_committed()
-    if n:
-        print(f'# seeded {n} committed warm-cache entries', file=sys.stderr)
+    # tools/warm_bench_cache.py sets this so the scratch cache it harvests
+    # holds EXACTLY the entries the bench programs produce — seeding first
+    # would copy stale committed entries into the scratch and re-commit them
+    if os.environ.get('FV2P_SKIP_CACHE_SEED'):
+        print('# cache seeding skipped (FV2P_SKIP_CACHE_SEED)',
+              file=sys.stderr)
+    else:
+        n = seed_from_committed()
+        if n:
+            print(f'# seeded {n} committed warm-cache entries',
+                  file=sys.stderr)
 
     import jax
     import jax.numpy as jnp

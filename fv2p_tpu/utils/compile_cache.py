@@ -40,6 +40,16 @@ def enable_persistent_cache(cache_dir=None):
     # mostly 0.1-5 s compiles, and caching them is the whole point
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    # jax defaults jax_persistent_cache_enable_xla_caches to the GPU-only
+    # per-fusion autotune cache, whose directory is derived from THIS cache
+    # dir and baked into debug_options — which the cache key hashes without
+    # stripping. Net effect: the cache-dir PATH poisons every key, so two
+    # processes (or a scratch dir vs the default dir) can never share
+    # entries. That is the real reason the r3 committed bench cache "went
+    # stale": entries harvested from a tmp scratch could not hit from
+    # .jax_cache by construction. The feature is meaningless on TPU —
+    # disable it so keys depend only on program + compiler + topology.
+    jax.config.update('jax_persistent_cache_enable_xla_caches', '')
     _RESOLVED_DIR = path
     return path
 

@@ -4,6 +4,14 @@ BENCH_r03 measured 620 s of XLA compile for the full MGAF eval program while
 the isolated DCN forward compiles in ~3 s — this tool bisects where the time
 goes by compiling cumulative prefixes of the module pipeline (cache disabled).
 
+MEASURED 2026-08-20 (round 4), real v5e chip, cold cache: backbone 0.7 s,
+bev 35.0 s, head 22.8 s, full_nodcn 18.7 s, full 19.8 s — the r3 pathology
+does NOT reproduce against the current axon runtime; the whole program is
+back in the 20-35 s band (r2 levels), DCN included. The 620 s spike was a
+property of the 2026-08-19 runtime build, not of the program. The guard
+that keeps this from silently recurring is tools/verify_warm_cache.py's
+<60 s bound, run against the committed cache from a clean process.
+
 Usage: python tools/exp_mgaf_compile.py [stage ...]
   stages: backbone bev head full full_nodcn
 """

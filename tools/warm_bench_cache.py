@@ -26,7 +26,11 @@ REPO = Path(__file__).resolve().parent.parent
 def main():
     dest = REPO / 'artifacts' / 'bench_cache'
     with tempfile.TemporaryDirectory(prefix='bench_cache_') as scratch:
-        env = dict(os.environ, FV2P_JAX_CACHE_DIR=scratch)
+        # FV2P_SKIP_CACHE_SEED: without it bench.py would seed the scratch
+        # from the (possibly stale) committed cache and this tool would then
+        # re-commit those stale entries alongside the fresh ones
+        env = dict(os.environ, FV2P_JAX_CACHE_DIR=scratch,
+                   FV2P_SKIP_CACHE_SEED='1')
         print(f'running bench.py with scratch cache {scratch} ...')
         rc = subprocess.call([sys.executable, str(REPO / 'bench.py')], env=env)
         if rc != 0:
