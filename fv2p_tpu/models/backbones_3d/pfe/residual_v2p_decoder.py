@@ -22,15 +22,20 @@ class _ResMLPBlock(nn.Module):
     """net(interp) + downsample(identity) -> relu (reference
     LateralBottomResBlock :44-70, bottom_channels != -1)."""
     out_channels: int
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, residual, identity, *, train: bool):
-        x = nn.Dense(self.out_channels, use_bias=False, name='net0')(residual)
+        dt = self.compute_dtype
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                     name='net0')(residual)
         x = nn.BatchNorm(use_running_average=not train, **_BN, name='net_bn0')(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out_channels, use_bias=False, name='net1')(x)
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                     name='net1')(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN, name='net_bn1')(x)
-        idn = nn.Dense(self.out_channels, use_bias=False, name='down')(identity)
+        idn = nn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                       name='down')(identity)
         idn = nn.BatchNorm(use_running_average=not train, **_BN, name='down_bn')(idn)
         return nn.relu(x + idn)
 
@@ -73,6 +78,7 @@ class ResidualVoxelToPointDecoder(nn.Module):
     model_cfg: Any
     voxel_size: Tuple[float, float, float]
     point_cloud_range: Tuple[float, ...]
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, batch_dict, *, train: bool = False):
@@ -107,6 +113,7 @@ class ResidualVoxelToPointDecoder(nn.Module):
             blk_cfg = cfg.DECODE_BLOCKS[src_name]
             lateral = interp(src_name)
             feats = _ResMLPBlock(int(blk_cfg.OUT_CHANNELS),
+                                 self.compute_dtype,
                                  name=f'decode_{src_name}')(
                 lateral.reshape(-1, lateral.shape[-1]),
                 feats.reshape(-1, feats.shape[-1]), train=train)
@@ -114,6 +121,7 @@ class ResidualVoxelToPointDecoder(nn.Module):
 
         # out block MLP
         out = nn.Dense(int(cfg.OUT_BLOCK.OUT_CHANNELS), use_bias=False,
+                       dtype=self.compute_dtype,
                        name='out_fc')(feats.reshape(-1, feats.shape[-1]))
         out = nn.BatchNorm(use_running_average=not train, **_BN,
                            name='out_bn')(out)

@@ -43,6 +43,7 @@ class PointHeadSimple(nn.Module):
     model_cfg: Any
     input_channels: int
     num_class: int
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, batch_dict, *, train: bool = False):
@@ -54,7 +55,8 @@ class PointHeadSimple(nn.Module):
         b, k, c = feats.shape
         x = feats.reshape(-1, c)
         for i, ch in enumerate(cfg.CLS_FC):
-            x = nn.Dense(ch, use_bias=False, name=f'cls_fc{i}')(x)
+            x = nn.Dense(ch, use_bias=False, dtype=self.compute_dtype,
+                         name=f'cls_fc{i}')(x)
             x = nn.BatchNorm(use_running_average=not train, **_BN,
                              name=f'cls_bn{i}')(x)
             x = nn.relu(x)

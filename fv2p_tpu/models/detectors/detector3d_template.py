@@ -162,7 +162,7 @@ class Detector3DTemplate(nn.Module):
             model_cfg=StaticConfig(cfg),
             voxel_size=tuple(self.dataset_meta['voxel_size']),
             point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
-            name='post_pfe')
+            compute_dtype=self.compute_dtype, name='post_pfe')
 
     def _build_point_head(self):
         cfg = self.model_cfg.get('POINT_HEAD')
@@ -181,7 +181,9 @@ class Detector3DTemplate(nn.Module):
         else:
             in_ch = int(self.model_cfg.PFE.NUM_OUTPUT_FEATURES)
         return PointHeadSimple(model_cfg=StaticConfig(cfg), input_channels=in_ch,
-                               num_class=self.num_class, name='point_head')
+                               num_class=self.num_class,
+                               compute_dtype=self.compute_dtype,
+                               name='point_head')
 
     def _build_roi_head(self):
         cfg = self.model_cfg.get('ROI_HEAD')
@@ -222,7 +224,8 @@ class Detector3DTemplate(nn.Module):
             model_cfg=StaticConfig(cfg), input_channels=0,
             num_class=1 if cfg.get('CLASS_AGNOSTIC', True) else self.num_class,
             point_cloud_range=tuple(self.dataset_meta['point_cloud_range']),
-            voxel_size=tuple(self.dataset_meta['voxel_size']), name='roi_head')
+            voxel_size=tuple(self.dataset_meta['voxel_size']),
+            compute_dtype=self.compute_dtype, name='roi_head')
 
     def build_module_list(self):
         builders = {

@@ -54,6 +54,52 @@ def enable_persistent_cache(cache_dir=None):
     return path
 
 
+def install_cache_read_retry(retries=2, delays=(5.0, 30.0)):
+    """Retry transiently-failing persistent-cache reads (idempotent).
+
+    The axon TPU tunnel intermittently fails deserialization of large cache
+    entries: jax catches the error, warns, and silently falls back to a FULL
+    recompile — for the MGAF bench program that is a ~25 min cold compile
+    minutes after the very same key warm-hit in 0.7 s (BENCH_r04 tail: MGAF
+    compile=1477.9 s with its entry committed AND seeded; verified key-stable
+    this round with tools/bench_keyspy.py). A hit is also never re-written
+    (the key file already exists), so one flake poisons every later run's
+    timing. Wrap jax's ``_cache_read``: when the entry FILE exists but the
+    read returns None (i.e. the error path fired), retry before surrendering
+    to the compiler.
+    """
+    from jax._src import compiler as _jc
+    if getattr(_jc._cache_read, '_fv2p_retry', False):
+        return
+
+    orig = _jc._cache_read
+
+    def _entry_exists(cache_key):
+        return (_RESOLVED_DIR is not None
+                and (_RESOLVED_DIR / f'{cache_key}-cache').exists())
+
+    def _cache_read_retry(module_name, cache_key, compile_options, backend,
+                          executable_devices):
+        import sys
+        import time
+        exe, secs = orig(module_name, cache_key, compile_options, backend,
+                         executable_devices)
+        attempt = 0
+        while exe is None and attempt < retries and _entry_exists(cache_key):
+            delay = delays[min(attempt, len(delays) - 1)]
+            print(f'# cache entry {cache_key[:24]}... exists but read '
+                  f'failed; retrying in {delay:.0f}s', file=sys.stderr,
+                  flush=True)
+            time.sleep(delay)
+            exe, secs = orig(module_name, cache_key, compile_options, backend,
+                             executable_devices)
+            attempt += 1
+        return exe, secs
+
+    _cache_read_retry._fv2p_retry = True
+    _jc._cache_read = _cache_read_retry
+
+
 def seed_from_committed(cache_dir=None):
     """Copy committed warm-cache entries (artifacts/bench_cache/, produced by
     tools/warm_bench_cache.py) into the live cache dir so first-run bench /

@@ -53,10 +53,12 @@ def run_one_step(global_batch_size=8):
     from fv2p_tpu.train_utils.optimization import build_optimizer
     from fv2p_tpu.train_utils.train_state import create_train_state
 
-    if os.environ.get('DIST_MODE') == 'flagship':
+    mode = os.environ.get('DIST_MODE')
+    if mode in ('flagship', 'fv2p_flagship'):
         from tests.flagship_mesh import build_flagship_reduced
         _, model, batch_np = build_flagship_reduced(
-            split='train', batch_size=len(jax.devices()), with_gt=True)
+            split='train', batch_size=len(jax.devices()), with_gt=True,
+            flagship='fv2p' if mode == 'fv2p_flagship' else 'mgaf')
     else:
         from tests.test_mgaf_model import TINY_DATA_CFG, TINY_MODEL_CFG
         meta = dataset_meta_from_cfg(TINY_DATA_CFG, 'train')
@@ -66,10 +68,12 @@ def run_one_step(global_batch_size=8):
                                     n_cap=64, n_fill=48, with_gt=True,
                                     max_objs=10)
         batch_np = {k: np.asarray(v) for k, v in batch.items()}
+    rngs = {'params': jax.random.PRNGKey(0),
+            'sampling': jax.random.PRNGKey(1),
+            'dropout': jax.random.PRNGKey(2)}
     variables = jax.jit(
         lambda r, b: model.init(r, b, train=True))(
-            jax.random.PRNGKey(0),
-            jax.tree_util.tree_map(lambda v: v[:1], batch_np))
+            rngs, jax.tree_util.tree_map(lambda v: v[:1], batch_np))
     variables = jax.tree_util.tree_map(np.asarray, variables)
     optim_cfg = EasyDict({
         'OPTIMIZER': 'adam_onecycle', 'LR': 0.003, 'WEIGHT_DECAY': 0.01,

@@ -14,6 +14,7 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 MGAF_OVERFIT_YAML = 'tools/cfgs/kitti_models/MGAF-3DSSD/mgaf-3dssd_overfit.yaml'
+FV2P_OVERFIT_YAML = 'tools/cfgs/kitti_models/FV2P/fv2p_overfit.yaml'
 
 # reduced-cap pins (n_cap=4096 scans): every level shape shrinks ~3x vs the
 # committed 12000-voxel gate pins, keeping the batch-8 CPU programs fast
@@ -21,10 +22,19 @@ REDUCED_CAPS = {'x_conv1': 4096, 'x_conv2': 6144, 'x_conv3': 4096,
                 'x_conv4': 2048, 'out': 2048}
 N_CAP = 4096
 N_FILL = 3072
+# FV2P adds the raw-point stream (decoder FPS source); keep it small but
+# larger than NUM_KEYPOINTS so FPS actually subsamples
+N_POINTS_FV2P = 4096
 
 
-def build_flagship_reduced(split='test', batch_size=8, seed=0, with_gt=False):
-    """Flagship-topology MGAF at 0.1 m voxels with reduced caps.
+def build_flagship_reduced(split='test', batch_size=8, seed=0, with_gt=False,
+                           flagship='mgaf'):
+    """Flagship-topology MGAF or FV2P at 0.1 m voxels with reduced caps.
+
+    FV2P is the full two-stage stack from fv2p_overfit.yaml — sparse
+    backbone, anchor RPN, V2P decoder, point head and the two-pass
+    IoU-guided RoI head (VERDICT r4 item 6: the two-pass topology had never
+    crossed a mesh at flagship shapes).
 
     Returns (cfg, model, batch) — batch is a dict of numpy arrays with
     leading batch axis (host rulebooks attached), ready for jnp.asarray or
@@ -35,13 +45,23 @@ def build_flagship_reduced(split='test', batch_size=8, seed=0, with_gt=False):
 
     import __graft_entry__ as ge
 
+    yaml = {'mgaf': MGAF_OVERFIT_YAML, 'fv2p': FV2P_OVERFIT_YAML}[flagship]
     cfg = EasyDict()
-    cfg_from_yaml_file(str(REPO / MGAF_OVERFIT_YAML), cfg)
+    cfg_from_yaml_file(str(REPO / yaml), cfg)
     vox = [p for p in cfg.DATA_CONFIG.DATA_PROCESSOR
            if p.NAME == 'transform_points_to_voxels'][0]
     vox.MAX_NUMBER_OF_VOXELS = {'train': N_CAP, 'test': N_CAP}
     cfg.MODEL.BACKBONE_3D.LEVEL_CAPACITIES = {
         'train': dict(REDUCED_CAPS), 'test': dict(REDUCED_CAPS)}
+    n_points = 0
+    if flagship == 'fv2p':
+        cfg.DATA_CONFIG.MAX_POINTS_PER_SCAN = N_POINTS_FV2P
+        # shrink the point stages so the batch-8 CPU program stays CI-sized
+        cfg.MODEL.POST_PFE.NUM_KEYPOINTS = 512
+        cfg.MODEL.ROI_HEAD.NMS_CONFIG.TRAIN.NMS_PRE_MAXSIZE = 1024
+        cfg.MODEL.ROI_HEAD.NMS_CONFIG.TEST.NMS_PRE_MAXSIZE = 256
+        cfg.MODEL.ROI_HEAD.NMS_CONFIG.TEST.NMS_POST_MAXSIZE = 32
+        n_points = N_POINTS_FV2P
 
     meta = dataset_meta_from_cfg(cfg.DATA_CONFIG, split)
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
@@ -49,7 +69,8 @@ def build_flagship_reduced(split='test', batch_size=8, seed=0, with_gt=False):
     batch = ge._synthetic_batch(meta, batch_size=batch_size, n_cap=N_CAP,
                                 n_fill=N_FILL, seed=seed, with_gt=with_gt,
                                 max_objs=10, host_rulebooks=True,
-                                backbone=cfg.MODEL.BACKBONE_3D.NAME)
+                                backbone=cfg.MODEL.BACKBONE_3D.NAME,
+                                n_points=n_points)
     batch_np = {}
     for k, v in batch.items():
         if isinstance(v, dict):

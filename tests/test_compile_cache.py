@@ -22,6 +22,9 @@ sys.path.insert(0, sys.argv[2])
 from fv2p_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 import jax, jax.numpy as jnp
+# never gate on absolute compile speed: the tiny program below must always
+# produce a cache entry even if a fast CPU compiles it in <0.2s (ADVICE r4)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 @jax.jit
 def f(x):
     return jnp.sin(x) @ jnp.cos(x).T

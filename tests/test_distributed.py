@@ -85,3 +85,18 @@ def test_two_process_flagship_train_step():
                                    rtol=1e-6, err_msg=key)
     assert np.isfinite(results[0]['loss'])
     assert results[0]['grad_norm'] > 0
+
+
+@pytest.mark.slow
+def test_two_process_fv2p_flagship_train_step():
+    """One DP train step of the REAL fv2p_overfit.yaml two-stage topology
+    (reduced caps + point stream, tests/flagship_mesh.py) across
+    2 processes x 2 devices (VERDICT r4 item 6: the two-pass RoI head +
+    decoder had only ever crossed a mesh as a 64-voxel toy config)."""
+    results = _launch_workers(2, mode='fv2p_flagship', dev_per_proc=2)
+    assert results[0]['n_devices'] == 4
+    for key in ('loss', 'grad_norm', 'param_sum'):
+        np.testing.assert_allclose(results[0][key], results[1][key],
+                                   rtol=1e-6, err_msg=key)
+    assert np.isfinite(results[0]['loss'])
+    assert results[0]['grad_norm'] > 0

@@ -21,9 +21,11 @@ from .flagship_mesh import build_flagship_reduced
 
 
 @pytest.mark.slow
-def test_flagship_sharded_eval_matches_single_device():
+@pytest.mark.parametrize('flagship', ['mgaf', 'fv2p'])
+def test_flagship_sharded_eval_matches_single_device(flagship):
     assert len(jax.devices()) >= 8, jax.devices()
-    cfg, model, batch_np = build_flagship_reduced(split='test', batch_size=8)
+    cfg, model, batch_np = build_flagship_reduced(split='test', batch_size=8,
+                                                  flagship=flagship)
 
     batch = {k: (jnp.asarray(v) if not isinstance(v, dict)
                  else {kk: jnp.asarray(vv) for kk, vv in v.items()})
@@ -59,9 +61,18 @@ def test_flagship_sharded_eval_matches_single_device():
     sharded = jax.device_get(out)
 
     for k in single:
-        np.testing.assert_array_equal(
-            np.asarray(single[k]), np.asarray(sharded[k]),
-            err_msg=f'{k}: sharded flagship eval != single-device')
+        a, b = np.asarray(single[k]), np.asarray(sharded[k])
+        if k in ('pred_labels', 'pred_valid'):
+            np.testing.assert_array_equal(
+                a, b, err_msg=f'{k}: sharded flagship eval != single-device')
+        else:
+            # XLA tiles the (B*K, C) GEMMs differently at per-device batch 1
+            # vs global batch 8, so f32 reduction order (hence the last ulp)
+            # legitimately differs; observed maxabs ~3e-8 on boxes. Semantics
+            # (labels/valid above) must still match exactly.
+            np.testing.assert_allclose(
+                a, b, atol=1e-4, rtol=1e-4,
+                err_msg=f'{k}: sharded flagship eval != single-device')
 
     # sanity: the program actually produced live detections structure
     assert single['pred_boxes'].shape[0] == 8

@@ -87,8 +87,34 @@ def pad_batch_to_size(batch_np, batch_size):
     return out, n_real
 
 
+def _interleave(parts):
+    """Merge per-rank anno lists sharded rank::world back into dataset
+    order (reference ``common_utils.merge_results_dist``). With stride
+    sharding only trailing ranks run short, so round-robin restores order."""
+    out = []
+    iters = [iter(p) for p in parts]
+    alive = True
+    while alive:
+        alive = False
+        for it in iters:
+            try:
+                out.append(next(it))
+                alive = True
+            except StopIteration:
+                pass
+    return out
+
+
 def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
-                   batch_size, save_to_file=False, tb_log=None, epoch_id=0):
+                   batch_size, save_to_file=False, tb_log=None, epoch_id=0,
+                   mesh=None):
+    """Eval loop. ``mesh``: a 1-D jax Mesh — the batch shards over its
+    devices with params replicated (reference eval-side DDP,
+    ``tools/eval_utils/eval_utils.py:44-48``). In multi-process runs
+    (``jax.process_count() > 1``) each process evaluates its own dataset
+    shard and the per-rank results are merged (reference
+    ``common_utils.merge_results_dist``, pcdet/utils/common_utils.py:185-206);
+    only process 0 scores and writes result.json (others return {})."""
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +133,37 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
                 out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
         return out
 
-    infer = jax.jit(lambda v, b: model.apply(v, dict(b), train=False))
+    pred_keys = ('pred_boxes', 'pred_scores', 'pred_labels', 'pred_valid')
+
+    def _select(out):
+        res = {k: out[k] for k in pred_keys}
+        if 'rois' in out:
+            res['rois'] = out['rois']
+        return res
+
+    if mesh is None:
+        infer = jax.jit(
+            lambda v, b: _select(model.apply(v, dict(b), train=False)))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from fv2p_tpu.parallel import batch_spec, shard_batch
+
+        n_dev = mesh.devices.size
+        assert batch_size % n_dev == 0, \
+            f'batch_size {batch_size} not divisible by {n_dev} mesh devices'
+        logger.info(f'data-parallel eval over {n_dev} devices')
+
+        def per_device(v, b):
+            return _select(model.apply(v, dict(b), train=False))
+
+        @jax.jit
+        def infer(v, b):
+            return jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P(), v),
+                          batch_spec(b)),
+                out_specs=P(mesh.axis_names[0]), check_vma=False)(v, b)
 
     det_annos = []
     recall = {('recall_rcnn_%s' % str(t)): 0 for t in thresh_list}
@@ -121,6 +177,9 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
         # pad ragged final batch to the static shape; trim predictions after
         batch_np, n_real = pad_batch_to_size(batch_np, batch_size)
         batch = to_jnp(batch_np)
+        if mesh is not None:
+            from fv2p_tpu.parallel import shard_batch
+            batch = shard_batch(mesh, batch)
         t0 = time.time()
         out = infer(variables, batch)
         pred = {k: np.asarray(out[k]) for k in
@@ -168,6 +227,20 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     elif of['samples']:
         logger.info('rulebook overflow check: clean over %d samples, '
                     'max_active=%s' % (of['samples'], of['max_active']))
+
+    if jax.process_count() > 1:
+        # merge per-rank results (reference merge_results_dist,
+        # pcdet/utils/common_utils.py:185-206); only rank 0 scores
+        from fv2p_tpu.utils import misc
+        det_annos = _interleave(misc.all_gather(det_annos))
+        merged = misc.reduce_dict({**recall, 'total_gt': float(total_gt)},
+                                  average=False)
+        total_gt = int(merged.pop('total_gt'))
+        recall = {k: int(v) for k, v in merged.items()}
+        logger.info(f'merged {len(det_annos)} det_annos across '
+                    f'{jax.process_count()} processes')
+        if jax.process_index() != 0:
+            return {}
 
     ret_dict = {}
     if total_gt > 0:

@@ -38,6 +38,14 @@ def parse_config():
     parser.add_argument('--max_waiting_mins', type=int, default=30,
                         help='--eval_all: give up after this many idle minutes')
     parser.add_argument('--start_epoch', type=int, default=0)
+    parser.add_argument('--num_devices', type=int, default=None,
+                        help='data-parallel eval over this many local '
+                             'devices (batch shards over a 1-D mesh, '
+                             'params replicated; default 1)')
+    parser.add_argument('--dist', action='store_true', default=False,
+                        help='multi-process eval: jax.distributed, each '
+                             'process scores its dataset shard, results '
+                             'merged on rank 0 (reference dist_test.sh)')
     parser.add_argument('--rulebooks', choices=['host', 'device'],
                         default=os.environ.get('FV2P_RULEBOOKS', 'host'),
                         help='host: ship precomputed sparse-conv tables; '
@@ -112,6 +120,19 @@ def main():
     from fv2p_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
+
+    if args.dist:
+        # one process per host (tools/scripts/dist_test.sh); coordinator
+        # discovered from the TPU metadata or JAX_COORDINATOR_ADDRESS env
+        import os as _os
+        kw = {}
+        if 'JAX_COORDINATOR_ADDRESS' in _os.environ:
+            kw = dict(
+                coordinator_address=_os.environ['JAX_COORDINATOR_ADDRESS'],
+                num_processes=int(_os.environ['JAX_NUM_PROCESSES']),
+                process_id=int(_os.environ['JAX_PROCESS_ID']))
+        jax.distributed.initialize(**kw)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -135,11 +156,20 @@ def main():
         test_set.set_rulebook_spec(cfg.MODEL.BACKBONE_3D.NAME,
                               caps_override=cfg.MODEL.BACKBONE_3D.get('LEVEL_CAPACITIES'))
     import torch.utils.data as torch_data
+    # multi-process: stride-shard the dataset over ranks (reference
+    # DistributedSampler; eval_utils._interleave restores dataset order)
+    sampler = None
+    if args.dist and jax.process_count() > 1:
+        sampler = list(range(jax.process_index(), len(test_set),
+                             jax.process_count()))
+        logger.info(f'rank {jax.process_index()}/{jax.process_count()}: '
+                    f'{len(sampler)} of {len(test_set)} samples')
     # spawn + persistent workers — fork from the multithreaded JAX process
     # deadlocks (see the matching note in train.py)
     loader = torch_data.DataLoader(
         test_set, batch_size=batch_size, num_workers=args.workers,
         shuffle=False, collate_fn=test_set.collate_batch, drop_last=False,
+        sampler=sampler,
         persistent_workers=args.workers > 0,
         multiprocessing_context='spawn' if args.workers > 0 else None)
 
@@ -171,12 +201,22 @@ def main():
     except ImportError:
         pass
 
+    mesh = None
+    n_dev = args.num_devices or 1
+    if n_dev > 1:
+        from fv2p_tpu.parallel import make_mesh
+        local = jax.local_devices()
+        assert n_dev <= len(local), (n_dev, local)
+        mesh = make_mesh(local[:n_dev])
+        logger.info(f'eval mesh: {n_dev} local devices')
+
     if not args.eval_all:
         if args.ckpt:
             variables = _restore_variables(model, variables, args.ckpt, logger)
         eval_utils.eval_one_epoch(
             cfg, model, variables, loader, test_set, eval_dir, logger,
-            batch_size, save_to_file=args.save_to_file, tb_log=tb_log)
+            batch_size, save_to_file=args.save_to_file, tb_log=tb_log,
+            mesh=mesh)
         logger.info('****************End evaluation****************')
         return
 
@@ -205,7 +245,7 @@ def main():
         eval_utils.eval_one_epoch(
             cfg, model, variables, loader, test_set, cur_eval_dir, logger,
             batch_size, save_to_file=args.save_to_file, tb_log=tb_log,
-            epoch_id=epoch_id)
+            epoch_id=epoch_id, mesh=mesh)
         with open(record_file, 'a') as f:
             print('%d' % epoch_id, file=f)
         logger.info('Epoch %d has been evaluated' % epoch_id)

@@ -51,7 +51,8 @@ def main():
         # seed exactly what bench.py's seed_from_committed would copy, then
         # SKIP its own seeding so the scratch holds only committed entries
         for name in entries:
-            shutil.copyfile(committed / name, Path(scratch) / name)
+            if (committed / name).is_file():
+                shutil.copyfile(committed / name, Path(scratch) / name)
         print(f'seeded {len(entries)} committed entries')
         env = dict(os.environ, FV2P_JAX_CACHE_DIR=scratch,
                    FV2P_SKIP_CACHE_SEED='1')
@@ -81,7 +82,12 @@ def main():
         times = dict(re.findall(r'(mgaf|fv2p): compile=([0-9.]+)s',
                                 proc.stderr))
         for name in ('mgaf', 'fv2p'):
-            t = float(times.get(name, 1e9))
+            if name not in times:
+                print(f'FAIL: could not parse {name} compile time from '
+                      'bench stderr (output format changed?)')
+                ok = False
+                continue
+            t = float(times[name])
             print(f'{name}: compile={t:.1f}s')
             if t >= COMPILE_BOUND_S:
                 print(f'FAIL: {name} compile {t:.1f}s >= {COMPILE_BOUND_S}s')
