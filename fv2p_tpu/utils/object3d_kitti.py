@@ -5,7 +5,9 @@ import numpy as np
 def get_objects_from_label(label_file):
     with open(label_file, 'r') as f:
         lines = f.readlines()
-    return [Object3d(line) for line in lines]
+    # tolerate blank lines (a scene with zero labelable objects writes an
+    # empty file with a trailing newline)
+    return [Object3d(line) for line in lines if line.strip()]
 
 
 def cls_type_to_id(cls_type):

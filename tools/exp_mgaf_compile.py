@@ -78,7 +78,23 @@ def run_stage(name, n_modules, post, use_dcn=True):
     t0 = time.time()
     compiled = lowered.compile()
     t_compile = time.time() - t0
-    print(f'{name:12s} lower={t_lower:6.2f}s compile={t_compile:8.2f}s',
+    # the axon backend DEFERS the real compile/load to the first execution:
+    # .compile() returns in ~20 s while the first run of the full MGAF
+    # program takes 600-1550 s (measured r5, tools/exp_first_exec.py) — the
+    # r4 conclusion 'the spike does not reproduce' timed only .compile() and
+    # was wrong. First-exec time is the number that matters.
+    t0 = time.time()
+    out = compiled(variables, batch)
+    s = sum(float(jnp.sum(jnp.abs(v.astype(jnp.float32))))
+            for v in list(out.values())[:2])
+    t_first = time.time() - t0
+    t0 = time.time()
+    out = compiled(variables, batch)
+    sum(float(jnp.sum(jnp.abs(v.astype(jnp.float32))))
+        for v in list(out.values())[:2])
+    t_steady = time.time() - t0
+    print(f'{name:12s} lower={t_lower:6.2f}s compile={t_compile:8.2f}s '
+          f'first_exec={t_first:8.2f}s steady={t_steady:6.2f}s',
           flush=True)
 
 

@@ -104,6 +104,9 @@ def main():
     parser.add_argument('--out', type=str, default=None)
     parser.add_argument('--batch_size', type=int, default=4)
     parser.add_argument('--models', type=str, default='mgaf,fv2p')
+    parser.add_argument('--train', action='store_true', default=False,
+                        help='also profile the (single-chip) train step at '
+                             'each flagship\'s configured train batch size')
     args = parser.parse_args()
 
     import jax
@@ -137,6 +140,29 @@ def main():
         rec['scans_per_sec'] = round(args.batch_size / (rec['step_ms'] / 1e3), 2)
         results['programs'].append(rec)
         print(json.dumps(rec), flush=True)
+
+        if args.train:
+            from fv2p_tpu.train_utils.optimization import build_optimizer
+            from fv2p_tpu.train_utils.train_state import (create_train_state,
+                                                          make_train_step)
+            _, model_t, _, batch_t = ge._flagship(
+                batch_size=train_bs, n_cap=16000, n_fill=14000,
+                compute_dtype=jnp.bfloat16, cfg_path=cfg_path,
+                n_points=n_points, split='train')
+            rngs = {'params': jax.random.PRNGKey(0),
+                    'sampling': jax.random.PRNGKey(1),
+                    'dropout': jax.random.PRNGKey(2)}
+            init_fn = jax.jit(lambda r, b: model_t.init(r, b, train=True))
+            variables_t = init_fn(rngs, dict(batch_t))
+            state = create_train_state(model_t, variables_t,
+                                       build_optimizer(cfg.OPTIMIZATION, 1000))
+            rec = profile_program(f'{key}_train_b{train_bs}',
+                                  make_train_step(model_t), (state, batch_t),
+                                  iters=10)
+            rec['scans_per_sec'] = round(
+                train_bs / (rec['step_ms'] / 1e3), 2)
+            results['programs'].append(rec)
+            print(json.dumps(rec), flush=True)
 
     if args.out:
         out_path = REPO / args.out
