@@ -11,6 +11,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.compile_tame import stage_barrier
+
 from ...ops.dcn import MdeformConvBlock
 
 _BN = dict(momentum=0.99, epsilon=1e-3)
@@ -109,7 +111,8 @@ class BaseBEVBackbone(nn.Module):
                                  use_bias=False)(x)
             x = nn.BatchNorm(use_running_average=not train, **_BN)(x)
             x = nn.relu(x)
-        batch_dict['spatial_features_2d'] = x
+        # fusion boundary: see utils/compile_tame.py (450 s -> 60 s cold)
+        batch_dict['spatial_features_2d'] = stage_barrier(x)
         return batch_dict
 
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ....ops import pointops
 from ....utils import common_utils
+from ....utils.compile_tame import stage_barrier
 
 _BN = dict(momentum=0.99, epsilon=1e-3)
 
@@ -127,6 +128,8 @@ class ResidualVoxelToPointDecoder(nn.Module):
                            name='out_bn')(out)
         out = nn.relu(out)
 
-        batch_dict['point_features'] = out.reshape(batch_size, num_kp, -1)
+        # fusion boundary (utils/compile_tame.py)
+        batch_dict['point_features'] = stage_barrier(
+            out.reshape(batch_size, num_kp, -1))
         batch_dict['point_coords'] = keypoints          # (B, K, 3)
         return batch_dict

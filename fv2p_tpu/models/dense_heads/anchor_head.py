@@ -224,8 +224,10 @@ class AnchorHeadSingle(nn.Module):
 
         # decode proposals (always needed: RoI head consumes them)
         batch_box_preds = self._decode_preds(box_preds, dir_preds, anchors_flat)
-        batch_dict['batch_cls_preds'] = cls_preds
-        batch_dict['batch_box_preds'] = batch_box_preds
+        # fusion boundary (utils/compile_tame.py)
+        from ...utils.compile_tame import stage_barrier
+        batch_dict['batch_cls_preds'] = stage_barrier(cls_preds)
+        batch_dict['batch_box_preds'] = stage_barrier(batch_box_preds)
         batch_dict['cls_preds_normalized'] = False
         batch_dict['anchor_head_ret'] = ret
         return batch_dict

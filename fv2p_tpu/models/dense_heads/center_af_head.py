@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.dcn import FeatureAdaption
+from ...utils.compile_tame import stage_barrier
 from ...utils import box_utils, center_utils, iou3d, loss_utils
 from .center_target_assigner import CenterTargetAssigner
 
@@ -92,6 +93,9 @@ class CenterAFHeadSingle(nn.Module):
                             name='segm')(x, train=train)
         ret['segm_pred'] = segm_pred
         att = x + jax.nn.sigmoid(jax.lax.stop_gradient(segm_pred)) * x
+        # fusion boundary between the attention trunk and the head convs
+        # (utils/compile_tame.py)
+        att = stage_barrier(att)
         batch_dict['spatial_features_before_head'] = att
 
         # all non-segm heads fused into ONE wide 3x3 conv + per-head slices:
@@ -111,10 +115,11 @@ class CenterAFHeadSingle(nn.Module):
             fk = int(h['final_kernel'])
             pad = (fk - 1) // 2
             sl = mid[..., offset:offset + width]
-            ret[f'{name}_pred'] = nn.Conv(
+            pred = nn.Conv(
                 out_ch, (fk, fk), padding=((pad, pad), (pad, pad)),
                 bias_init=nn.initializers.constant(init_bias), dtype=dt,
                 name=f'{name}_out')(sl).astype(jnp.float32)
+            ret[f'{name}_pred'] = stage_barrier(pred)
             offset += width
 
         if train:

@@ -17,6 +17,7 @@ import numpy as np
 
 from ...ops import pointops
 from ...utils import box_coder_utils, box_utils, common_utils, iou3d, loss_utils
+from ...utils.compile_tame import stage_barrier
 
 _BN = dict(momentum=0.99, epsilon=1e-3)
 
@@ -523,7 +524,9 @@ class _RoIFeatureNet(nn.Module):
                          name='reg_head')(fused, train=train)
         rcnn_iou = regiou[:, :1]
         rcnn_reg = regiou[:, 1:]
-        return rcnn_cls, rcnn_reg, rcnn_iou
+        # fusion boundary between the two RoI passes (utils/compile_tame.py)
+        return (stage_barrier(rcnn_cls), stage_barrier(rcnn_reg),
+                stage_barrier(rcnn_iou))
 
 
 def _dense_grid_points(rois_flat, grid_size):

@@ -125,11 +125,13 @@ def eval_one_epoch(cfg, model, variables, loader, test_set, eval_dir, logger,
     def to_jnp(batch):
         out = {}
         for k, v in batch.items():
-            if k in ('image_shape',):
-                continue
-            if isinstance(v, np.ndarray):
+            if isinstance(v, np.ndarray) and v.dtype != object \
+                    and v.dtype.kind not in ('U', 'S'):
                 out[k] = jnp.asarray(v)
-            elif isinstance(v, dict):
+            elif isinstance(v, dict) and all(
+                    isinstance(vv, np.ndarray) and vv.dtype != object
+                    and vv.dtype.kind not in ('U', 'S')
+                    for vv in v.values()):
                 out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
         return out
 

@@ -41,21 +41,35 @@ def main():
     batch.pop('gt_boxes')
     print(f'build+init: {time.time() - t0:.1f}s', flush=True)
 
+    import os
+    outputs = os.environ.get('OUTPUTS', 'preds')
+
     @jax.jit
     def infer(variables, batch):
         out = model.apply(variables, dict(batch), train=False)
+        if outputs == 'all':
+            # ablation-style: keep every float intermediate live
+            return {k: v for k, v in out.items()
+                    if isinstance(v, jax.Array)
+                    and jnp.issubdtype(v.dtype, jnp.floating)}
+        if outputs == 'preds+bev':
+            return (out['pred_boxes'], out['pred_scores'],
+                    out['pred_labels'], out['spatial_features_2d'])
         return out['pred_boxes'], out['pred_scores'], out['pred_labels']
+
+    def first(res):
+        return res['pred_boxes'] if isinstance(res, dict) else res[0]
 
     t0 = time.time()
     res = infer(variables, batch)
     print(f'A dispatch call1: {time.time() - t0:.1f}s', flush=True)
     t0 = time.time()
-    print(f'  sum={float(jnp.sum(res[0])):.3f}')
+    print(f'  sum={float(jnp.sum(first(res))):.3f}')
     print(f'B complete call1: {time.time() - t0:.1f}s', flush=True)
     for i in range(3):
         t0 = time.time()
         res = infer(variables, batch)
-        s = float(jnp.sum(res[0]))
+        s = float(jnp.sum(first(res)))
         print(f'C call{i + 2}: {time.time() - t0:.3f}s', flush=True)
 
 
