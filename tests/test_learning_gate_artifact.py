@@ -107,6 +107,37 @@ def test_fv2p_fullres_gate_artifact():
                             roi_recall=True)
 
 
+def test_waymo_gate_artifact():
+    """Waymo train->eval gate (VERDICT r4 item 8): MGAF trained on the
+    synthetic Waymo fixture (waymo_mgaf-3dssd_overfit.yaml) and scored by
+    the dependency-free native Waymo metrics must detect the planted
+    vehicles — nonzero LEVEL_1 mAP and mAPH (heading-aware).
+    Reference analogue: pcdet/datasets/waymo/waymo_eval.py:203."""
+    art = ARTIFACT.parent / 'waymo' / 'result.json'
+    assert art.exists(), (
+        'Waymo learning-gate artifact missing — reproduce per '
+        'artifacts/learning_gate/PROVENANCE.md')
+    ret = json.loads(art.read_text())
+    assert ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP', 0.0) > 0.1, ret
+    assert ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH', 0.0) > 0.05, ret
+
+
+def test_nuscenes_gate_artifact():
+    """nuScenes train->eval gate (VERDICT r4 missing item 6): CBGS
+    SECOND-multihead trained on the synthetic nuScenes fixture
+    (cbgs_second_multihead_overfit.yaml) and scored by the devkit-free
+    native nuScenes metrics must produce a nonzero NDS.
+    Reference analogue: pcdet/datasets/nuscenes/nuscenes_dataset.py
+    evaluation -> nuscenes devkit NDS."""
+    art = ARTIFACT.parent / 'nuscenes' / 'result.json'
+    assert art.exists(), (
+        'nuScenes learning-gate artifact missing — reproduce per '
+        'artifacts/learning_gate/PROVENANCE.md')
+    ret = json.loads(art.read_text())
+    nds = ret.get('NDS', ret.get('nds', 0.0))
+    assert nds > 0.05, ret
+
+
 def test_learning_gate_bf16_f32_parity():
     """The bf16 TPU eval and the f32 CPU eval of the same checkpoint must
     agree on AP and recall (documents that bf16 is the eval dtype of record
