@@ -143,6 +143,12 @@ class NuScenesDataset(DatasetTemplate):
             return {'name': np.zeros(n), 'score': np.zeros(n),
                     'boxes_lidar': np.zeros([n, 7]), 'pred_labels': np.zeros(n)}
 
+        # accept both a per-sample list and the eval loop's dict of batched
+        # arrays (same duality as KittiDataset.generate_prediction_dicts)
+        if not isinstance(pred_dicts, list):
+            bs = np.asarray(pred_dicts['pred_scores']).shape[0]
+            pred_dicts = [{k: v[i] for k, v in pred_dicts.items()}
+                          for i in range(bs)]
         annos = []
         for index, box_dict in enumerate(pred_dicts):
             valid = np.asarray(box_dict['pred_valid'])
