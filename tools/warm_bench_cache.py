@@ -1,15 +1,13 @@
-"""Produce the committed warm compile cache for the driver bench.
+"""Harvest a LOCAL warm compile cache for repeated bench runs.
 
 Runs ``bench.py`` against an empty scratch cache dir on the real chip, then
-copies every entry it produced into ``artifacts/bench_cache/`` (tracked in
-git). ``bench.py`` seeds the live cache from that directory at startup
-(``fv2p_tpu.utils.compile_cache.seed_from_committed``), so a fresh checkout
-pays ~0 s instead of the ~92 s cold compile for the flagship inference
-programs (VERDICT r2 weak item 5).
-
-Run this LAST whenever the flagship model/bench programs change — stale
-entries are harmless (the key just misses) but waste repo space, so the
-directory is wiped first.
+copies every entry it produced into ``artifacts/bench_cache/`` (NOT tracked
+in git since r5: with the stage-boundary fusion barriers the flagship cold
+compiles are 21.6 s / 46.6 s, while the axon-side LOAD of a cached 20 MB
+MGAF executable measured 96.9 s — the committed binaries were both churn
+and slower than compiling; see README "Known issues"). ``bench.py`` still
+seeds from the directory when it exists, so harvest locally if you want
+sub-10 s FV2P warm starts for repeated runs.
 
 Usage:  python tools/warm_bench_cache.py
 """
