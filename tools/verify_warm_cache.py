@@ -1,30 +1,20 @@
-"""Verify from a clean process that the committed warm compile cache HITS.
+"""Verify the driver bench's compile-time budget from a clean process.
 
-BENCH_r03 recorded a 620 s MGAF compile despite "seeded 7 committed
-warm-cache entries". Root cause (r4): jax's default
-`jax_persistent_cache_enable_xla_caches` baked the cache-dir path into the
-key (see fv2p_tpu/utils/compile_cache.py), so cross-process hits were
-impossible. That is fixed; this tool is the regression check.
+r5: the committed warm-cache binaries are GONE (44.5 MB of git churn whose
+axon-side executable load was measured SLOWER than a cold compile for MGAF:
+96.9 s load vs 21.6 s cold once the stage-boundary fusion barriers landed —
+see utils/compile_tame.py and README "Known issues"). This tool now runs
+bench.py against an EMPTY scratch cache and asserts each flagship's cold
+compile (which on the axon backend includes the deferred first-execution
+backend compile) stays under COMPILE_BOUND_S, plus that the scratch gets
+populated (the persistent cache still serves --eval_all loops and repeated
+local runs from .jax_cache).
 
-It verifies the DRIVER'S OWN scenario end to end: run ``bench.py`` — the
-exact process the driver invokes — against a fresh scratch cache seeded
-only from ``artifacts/bench_cache/``, then assert
+If artifacts/bench_cache/ exists (a local harvest via
+tools/warm_bench_cache.py), it is seeded first and the same bound applies
+to the warm path.
 
-  1. NO new ``jit_infer`` entries appeared (both flagship infer programs
-     were pure cache hits), and
-  2. each flagship compile took < 60 s (a hit is ~5-15 s incl. cache
-     deserialization; a cold miss is ~30-90 s; the r3 anomaly was 620 s).
-
-Reproducing the bench programs in-process is NOT equivalent: a program
-containing Pallas kernels hashes differently when traced after a different
-preceding trace sequence (name-uniquing state feeds the kernel payload), so
-only bench.py itself can produce/verify bench.py's keys. Keep this tool and
-tools/warm_bench_cache.py as the matched produce/verify pair.
-
-Run on the real chip after tools/warm_bench_cache.py whenever the flagship
-programs change. Exit code 0 = cache verified.
-
-Usage:  python tools/verify_warm_cache.py
+Usage: python tools/verify_warm_cache.py
 """
 import os
 import re
@@ -44,8 +34,8 @@ def main():
     entries = sorted(p.name for p in committed.iterdir()) \
         if committed.is_dir() else []
     if not entries:
-        print('FAIL: no committed entries in artifacts/bench_cache/')
-        return 1
+        print('no committed cache (expected since r5): verifying the COLD '
+              'compile budget')
 
     with tempfile.TemporaryDirectory(prefix='verify_cache_') as scratch:
         # seed exactly what bench.py's seed_from_committed would copy, then
@@ -71,12 +61,17 @@ def main():
         new_infer = sorted(p.name for p in Path(scratch).iterdir()
                            if p.name.startswith('jit_infer')
                            and p.name not in entries)
-        if new_infer:
+        if entries and new_infer:
             print(f'MISS: bench compiled new infer programs: {new_infer}')
             ok = False
-        else:
+        elif entries:
             print('HIT: no new jit_infer entries — both flagship programs '
                   'served from the committed cache')
+        elif not new_infer:
+            print('FAIL: cold bench wrote no jit_infer cache entries')
+            ok = False
+        else:
+            print(f'cold bench populated {len(new_infer)} infer entries')
 
         # "# mgaf: compile=11.3s ... | fv2p: compile=5.2s ..."
         times = dict(re.findall(r'(mgaf|fv2p): compile=([0-9.]+)s',
@@ -93,8 +88,9 @@ def main():
                 print(f'FAIL: {name} compile {t:.1f}s >= {COMPILE_BOUND_S}s')
                 ok = False
 
-    print('warm cache VERIFIED' if ok else 'warm cache STALE — rerun '
-          'tools/warm_bench_cache.py and re-commit artifacts/bench_cache/')
+    print('bench compile budget VERIFIED' if ok else
+          'bench compile budget EXCEEDED — investigate with '
+          'tools/exp_first_exec.py')
     return 0 if ok else 1
 
 
