@@ -30,7 +30,15 @@ from fv2p_tpu.models.roi_heads import iouguided_roi_head as irh  # noqa: E402
 
 @pytest.fixture
 def tpu_backend(monkeypatch):
+    # the backend decision is read INSIDE traced functions, so a jaxpr
+    # traced here with the patched backend (containing Pallas calls) can be
+    # served from jax's tracing caches to a later same-shape CPU test and
+    # crash with 'Only interpret mode is supported on CPU backend' — flush
+    # on both sides of the patch
+    jax.clear_caches()
     monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    yield
+    jax.clear_caches()
 
 
 def _bench_shaped_fv2p(compute_dtype):
